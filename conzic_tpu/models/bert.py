@@ -1,0 +1,127 @@
+"""Flax BERT encoder + masked-LM head.
+
+Rebuild of the proposal model the reference loads via
+``AutoModelForMaskedLM`` (``/root/reference/demo.py:125``) and queries once
+per Gibbs position (``/root/reference/gen_utils.py:69``:
+``out = model(inp).logits``). Returns full ``(B, S, vocab)`` logits.
+
+Post-LayerNorm residual blocks, exact (erf) gelu, learned absolute position
+embeddings, token-type embeddings, and the standard MLM transform head whose
+decoder is tied to the word-embedding matrix plus a per-vocab bias.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from conzic_tpu.models.configs import BertConfig
+from conzic_tpu.models.layers import (
+    ACTIVATIONS,
+    LayerNorm,
+    TransformerStack,
+)
+from conzic_tpu.ops.attention import make_attention_bias
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        token_type_ids: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cfg = self.config
+        B, S = input_ids.shape
+        word = nn.Embed(
+            cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="word"
+        )(input_ids)
+        positions = jnp.arange(S)[None, :]
+        pos = nn.Embed(
+            cfg.max_position_embeddings,
+            cfg.hidden_size,
+            dtype=self.dtype,
+            name="position",
+        )(positions)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+        tok_type = nn.Embed(
+            cfg.type_vocab_size,
+            cfg.hidden_size,
+            dtype=self.dtype,
+            name="token_type",
+        )(token_type_ids)
+        x = word + pos + tok_type
+        return LayerNorm(eps=cfg.layer_norm_eps, dtype=self.dtype, name="ln")(x)
+
+
+class BertMlmHead(nn.Module):
+    """Transform (dense + act + LN) then project to vocab.
+
+    The vocab projection reuses the word-embedding matrix (weight tying, as
+    in the HF checkpoint) plus a free bias.
+    """
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden: jax.Array, word_embedding: jax.Array) -> jax.Array:
+        cfg = self.config
+        h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="transform")(hidden)
+        h = ACTIVATIONS[cfg.hidden_act](h)
+        h = LayerNorm(eps=cfg.layer_norm_eps, dtype=self.dtype, name="ln")(h)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32
+        )
+        logits = jnp.einsum(
+            "bsh,vh->bsv",
+            h,
+            word_embedding.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits + bias.astype(jnp.float32)
+
+
+class BertForMaskedLM(nn.Module):
+    """Full masked-LM model. ``__call__`` returns fp32 ``(B, S, V)`` logits."""
+
+    config: BertConfig
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        token_type_ids: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cfg = self.config
+        embeddings = BertEmbeddings(cfg, dtype=self.dtype, name="embeddings")
+        x = embeddings(input_ids, token_type_ids)
+        bias = make_attention_bias(attention_mask, input_ids.shape[1])
+        x = TransformerStack(
+            num_layers=cfg.num_layers,
+            num_heads=cfg.num_heads,
+            head_dim=cfg.head_dim,
+            intermediate_size=cfg.intermediate_size,
+            act=cfg.hidden_act,
+            eps=cfg.layer_norm_eps,
+            pre_ln=False,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="encoder",
+        )(x, bias)
+        word_table = self.variables["params"]["embeddings"]["word"]["embedding"]
+        return BertMlmHead(cfg, dtype=self.dtype, name="mlm")(x, word_table)
+
+    def init_params(self, rng: jax.Array, seq_len: int = 16):
+        ids = jnp.zeros((1, seq_len), jnp.int32)
+        return self.init(rng, ids)["params"]

@@ -1,0 +1,174 @@
+"""Shared transformer building blocks (Flax linen).
+
+BERT (post-LayerNorm, exact gelu) and both CLIP towers (pre-LayerNorm,
+quick-gelu) share one residual block parameterized by normalization placement
+and activation — a single TPU-friendly code path instead of the reference's
+two HF model stacks (`transformers` BERT / CLIP used at
+``/root/reference/demo.py:125`` and ``/root/reference/clip/clip.py:12``).
+
+All matmuls run in the module compute ``dtype`` (bf16 on TPU) with fp32
+softmax/LayerNorm; parameters are stored fp32 and cast on use.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from conzic_tpu.ops.attention import dot_product_attention
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """CLIP's activation: ``x * sigmoid(1.702 x)`` (HF ``quick_gelu``)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def exact_gelu(x: jax.Array) -> jax.Array:
+    """Erf-based gelu (HF BERT's ``gelu``)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "gelu": exact_gelu,
+    "quick_gelu": quick_gelu,
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+}
+
+
+class LayerNorm(nn.Module):
+    """fp32 LayerNorm that returns the input compute dtype."""
+
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32)
+        )
+        return y.astype(self.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with bias on all projections (as in BERT and CLIP)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, bias: Optional[jax.Array] = None
+    ) -> jax.Array:
+        features = self.num_heads * self.head_dim
+        dense = lambda name: nn.DenseGeneral(
+            features=(self.num_heads, self.head_dim),
+            dtype=self.dtype,
+            name=name,
+        )
+        q = dense("query")(x)
+        k = dense("key")(x)
+        v = dense("value")(x)
+        out = dot_product_attention(q, k, v, bias=bias, impl=self.attn_impl)
+        return nn.DenseGeneral(
+            features=features, axis=(-2, -1), dtype=self.dtype, name="out"
+        )(out)
+
+
+class Mlp(nn.Module):
+    intermediate_size: int
+    hidden_size: int
+    act: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        h = ACTIVATIONS[self.act](h)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(h)
+
+
+class TransformerBlock(nn.Module):
+    """One residual attention block.
+
+    ``pre_ln=False`` -> BERT ordering:  x = LN(x + Attn(x)); x = LN(x + MLP(x))
+    ``pre_ln=True``  -> CLIP ordering:  x = x + Attn(LN(x)); x = x + MLP(LN(x))
+    """
+
+    num_heads: int
+    head_dim: int
+    intermediate_size: int
+    act: str
+    eps: float
+    pre_ln: bool
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, bias: Optional[jax.Array] = None
+    ) -> jax.Array:
+        hidden = self.num_heads * self.head_dim
+        attn = MultiHeadAttention(
+            num_heads=self.num_heads,
+            head_dim=self.head_dim,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="attention",
+        )
+        mlp = Mlp(
+            intermediate_size=self.intermediate_size,
+            hidden_size=hidden,
+            act=self.act,
+            dtype=self.dtype,
+            name="mlp",
+        )
+        ln1 = LayerNorm(eps=self.eps, dtype=self.dtype, name="ln1")
+        ln2 = LayerNorm(eps=self.eps, dtype=self.dtype, name="ln2")
+
+        if self.pre_ln:
+            x = x + attn(ln1(x), bias)
+            x = x + mlp(ln2(x))
+        else:
+            x = ln1(x + attn(x, bias))
+            x = ln2(x + mlp(x))
+        return x
+
+
+class TransformerStack(nn.Module):
+    """N identical blocks. Layers are materialized individually (not via
+    ``nn.scan``): with only 12 layers compile time is negligible and
+    per-layer naming keeps HF checkpoint conversion trivial."""
+
+    num_layers: int
+    num_heads: int
+    head_dim: int
+    intermediate_size: int
+    act: str
+    eps: float
+    pre_ln: bool
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, bias: Optional[jax.Array] = None
+    ) -> jax.Array:
+        for i in range(self.num_layers):
+            x = TransformerBlock(
+                num_heads=self.num_heads,
+                head_dim=self.head_dim,
+                intermediate_size=self.intermediate_size,
+                act=self.act,
+                eps=self.eps,
+                pre_ln=self.pre_ln,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"layer_{i}",
+            )(x, bias)
+        return x

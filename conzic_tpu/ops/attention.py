@@ -1,0 +1,93 @@
+"""Multi-head attention compute op.
+
+One functional attention used by every tower (BERT encoder, CLIP text, CLIP
+vision). Shapes are ``(batch, seq, heads, head_dim)`` throughout; softmax is
+always computed in float32 for bf16 stability.
+
+Two implementations:
+  - ``"xla"``: plain einsum formulation — XLA fuses the softmax chain and at
+    the short sequence lengths of this workload (<= 77 tokens) maps cleanly
+    onto the MXU.
+  - ``"pallas"``: fused Pallas flash-attention kernel
+    (:mod:`conzic_tpu.ops.flash_attention`) for TPU backends.
+
+The reference delegates attention to HF/torch (cuDNN); this is the rebuilt
+TPU-native equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # large-negative additive mask; safe in fp32 softmax
+
+
+def make_attention_bias(
+    padding_mask: Optional[jax.Array],
+    seq_len: int,
+    *,
+    causal: bool = False,
+) -> Optional[jax.Array]:
+    """Build an additive fp32 attention bias.
+
+    Args:
+      padding_mask: optional ``(B, S)`` array, 1 for real tokens, 0 for pad.
+      seq_len: S (static).
+      causal: also apply a lower-triangular causal mask (CLIP text tower).
+
+    Returns:
+      ``(B, 1, S, S)`` additive bias (or ``(1, 1, S, S)`` if only causal),
+      or None if no masking is needed.
+    """
+    bias = None
+    if padding_mask is not None:
+        keep = padding_mask[:, None, None, :].astype(jnp.float32)  # (B,1,1,S)
+        bias = (1.0 - keep) * NEG_INF
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (seq_len, seq_len), 1)
+        causal_bias = jnp.where(col <= row, 0.0, NEG_INF).astype(jnp.float32)
+        causal_bias = causal_bias[None, None, :, :]
+        bias = causal_bias if bias is None else bias + causal_bias
+    return bias
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    bias: Optional[jax.Array] = None,
+    impl: str = "xla",
+) -> jax.Array:
+    """Scaled dot-product attention.
+
+    Args:
+      q, k, v: ``(B, S, H, D)``.
+      bias: optional additive fp32 bias broadcastable to ``(B, H, S, S)``.
+      impl: "xla" or "pallas".
+
+    Returns:
+      ``(B, S, H, D)`` in q's dtype.
+    """
+    if impl == "pallas":
+        from conzic_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, bias=bias)
+
+    dtype = q.dtype
+    depth = q.shape[-1]
+    scale = depth ** -0.5
+    # (B, H, Sq, Sk) logits in fp32
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    return out.astype(dtype)
