@@ -1,0 +1,150 @@
+"""BERT-id -> CLIP-id bridge: on-device candidate sentence assembly.
+
+The reference's hot loop round-trips every candidate through the host —
+``tokenizer.batch_decode`` of B*k id-rows (``/root/reference/gen_utils.py:75``)
+then CLIP re-tokenization (``clip/clip.py:71-73``) — the dominant non-GPU
+cost. The rebuild precomputes, once per (BERT vocab, CLIP vocab) pair, the
+CLIP BPE ids of every BERT wordpiece as a standalone word; candidate CLIP
+sequences are then assembled **on device** by gather + cumsum + scatter, so
+the whole Gibbs sweep stays inside one XLA program.
+
+Exactness: BPE merges never cross word boundaries, so for whole-word
+candidates the assembly is byte-identical to the host path. ``##``
+continuation pieces are bridged as if they started a word — an approximation
+(the host/"exact" engine mode reproduces reference behavior precisely and is
+used for parity validation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conzic_tpu.text.bpe import CLIPBPETokenizer
+from conzic_tpu.text.wordpiece import WordPieceTokenizer
+
+
+@dataclasses.dataclass
+class BridgeTable:
+    """Per-BERT-token CLIP pieces.
+
+    ids:  (V, M) int32 — CLIP ids, zero-padded.
+    lens: (V,)  int32 — number of valid pieces (0 for specials: their text
+          contribution under ``skip_special_tokens=True`` is empty).
+    bos_id / eos_id / pad_id: CLIP special ids.
+    max_pieces: M.
+    """
+
+    ids: np.ndarray
+    lens: np.ndarray
+    bos_id: int
+    eos_id: int
+    pad_id: int
+    max_pieces: int
+
+    @property
+    def vocab_size(self) -> int:
+        return self.ids.shape[0]
+
+
+def build_bridge_table(
+    wp: WordPieceTokenizer,
+    bpe: CLIPBPETokenizer,
+    max_pieces: Optional[int] = None,
+) -> BridgeTable:
+    """``max_pieces=None`` (default) sizes the table to the longest piece
+    sequence actually present in the vocab, so no token is ever truncated."""
+    V = wp.vocab_size
+    special = set(wp.special_tokens)
+    all_pieces: dict[int, list[int]] = {}
+    for tok, i in wp.vocab.items():
+        if tok in special:
+            continue
+        body = tok[2:] if tok.startswith("##") else tok
+        if not body:
+            continue
+        all_pieces[i] = bpe.encode_word_ids(body)
+    width = max((len(p) for p in all_pieces.values()), default=1)
+    if max_pieces is not None:
+        width = min(width, max_pieces)
+    ids = np.zeros((V, width), np.int32)
+    lens = np.zeros((V,), np.int32)
+    for i, pieces in all_pieces.items():
+        pieces = pieces[:width]
+        ids[i, : len(pieces)] = pieces
+        lens[i] = len(pieces)
+    max_pieces = width
+    return BridgeTable(
+        ids=ids,
+        lens=lens,
+        bos_id=bpe.bos_token_id,
+        eos_id=bpe.eos_token_id,
+        pad_id=bpe.pad_token_id,
+        max_pieces=max_pieces,
+    )
+
+
+def assemble_clip_ids(
+    bert_ids: jax.Array,
+    bridge_ids: jax.Array,
+    bridge_lens: jax.Array,
+    *,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int,
+    clip_len: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Assemble CLIP token rows from BERT token rows, fully on device.
+
+    Args:
+      bert_ids: (..., P) int32 — the caption-relevant BERT positions
+        (prompt words + sentence slots; no [CLS]/[SEP]).
+      bridge_ids/bridge_lens: the bridge table arrays.
+      clip_len: static CLIP context length (<= 77).
+
+    Returns:
+      (clip_ids, attention_mask): (..., clip_len) int32 each. Rows are
+      BOS + pieces + EOS, padded with ``pad_id``; pieces overflowing the
+      context are dropped (mirrors reference truncation,
+      clip/clip.py:71-73).
+    """
+    batch_shape = bert_ids.shape[:-1]
+    P = bert_ids.shape[-1]
+    flat = bert_ids.reshape(-1, P)
+
+    def one_row(row: jax.Array):
+        pieces = bridge_ids[row]  # (P, M)
+        lens = bridge_lens[row]  # (P,)
+        M = pieces.shape[-1]
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens)[:-1]]
+        )  # (P,)
+        total = jnp.sum(lens)
+        # target slot for piece (p, m): 1 + offs[p] + m  (slot 0 is BOS)
+        m_idx = jax.lax.broadcasted_iota(jnp.int32, (P, M), 1)
+        targets = 1 + offs[:, None] + m_idx
+        valid = m_idx < lens[:, None]
+        # invalid or overflowing writes are dropped (sent out of range)
+        targets = jnp.where(valid, targets, clip_len + 1)
+        targets = jnp.minimum(targets, clip_len + 1)
+        out = jnp.full((clip_len + 2,), pad_id, jnp.int32)
+        out = out.at[0].set(bos_id)
+        out = out.at[targets.reshape(-1)].set(
+            pieces.reshape(-1), mode="drop"
+        )
+        eos_pos = jnp.minimum(1 + total, clip_len - 1)
+        out = out.at[eos_pos].set(eos_id)
+        out = out[:clip_len]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (clip_len, 1), 0)[:, 0]
+        mask = (pos <= eos_pos).astype(jnp.int32)
+        return out, mask
+
+    ids, mask = jax.vmap(one_row)(flat)
+    return (
+        ids.reshape(*batch_shape, clip_len),
+        mask.reshape(*batch_shape, clip_len),
+    )

@@ -1,0 +1,124 @@
+"""Tokenizer round-trip parity vs HF slow tokenizers (synthetic vocabs).
+
+The reference relies on HF tokenizers for encode (utils.py:48-49), the
+hot-path batch_decode (gen_utils.py:75) and CLIP re-tokenization
+(clip/clip.py:71-73). These tests pin our from-scratch implementations to
+HF behavior on vocabularies we control (no downloads available).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+transformers = pytest.importorskip("transformers")
+
+from conzic_tpu.text import (
+    CLIPBPETokenizer,
+    WordPieceTokenizer,
+    build_token_masks,
+    make_test_bpe_files,
+    make_test_wordpiece_vocab,
+)
+
+SENTENCES = [
+    "Image of a girl playing with a dog.",
+    "the quick-looking CAT, sitting on grass!",
+    "A beautiful sunny beach;  two people walking.",
+    "dog dog dog...",
+    "unknownword stuff 123 mixed42tokens",
+    "",
+    "   spaces    everywhere   ",
+]
+
+
+@pytest.fixture(scope="module")
+def wp_pair(tmp_path_factory):
+    vocab = make_test_wordpiece_vocab(extra_words=["unknownword", "stuff", "mixed"])
+    d = tmp_path_factory.mktemp("wp")
+    path = os.path.join(d, "vocab.txt")
+    with open(path, "w", encoding="utf-8") as f:
+        for tok in sorted(vocab, key=vocab.get):
+            f.write(tok + "\n")
+    ours = WordPieceTokenizer.from_vocab_file(path)
+    hf = transformers.BertTokenizer(path)
+    return ours, hf
+
+
+@pytest.fixture(scope="module")
+def bpe_pair(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bpe")
+    vocab_path, merges_path = make_test_bpe_files(str(d))
+    ours = CLIPBPETokenizer.from_files(vocab_path, merges_path)
+    hf = transformers.CLIPTokenizer(vocab_path, merges_path)
+    return ours, hf
+
+
+def test_wordpiece_encode_matches_hf(wp_pair):
+    ours, hf = wp_pair
+    for s in SENTENCES:
+        assert ours.tokenize(s) == hf.tokenize(s), s
+        assert ours.encode(s) == hf.encode(s), s
+
+
+def test_wordpiece_handles_special_tokens_inline(wp_pair):
+    ours, hf = wp_pair
+    text = "Image of a" + "[MASK]" * 5
+    assert ours.encode(text) == hf.encode(text)
+
+
+def test_wordpiece_decode_matches_hf(wp_pair):
+    ours, hf = wp_pair
+    rows = [
+        hf.encode("Image of a girl playing with a dog."),
+        hf.encode("the cat[MASK][MASK] sitting."),
+        hf.encode("walking walk ##ing"),
+    ]
+    for skip in (False, True):
+        got = ours.batch_decode(rows, skip_special_tokens=skip)
+        ref = hf.batch_decode(rows, skip_special_tokens=skip)
+        assert got == ref
+
+
+def test_clip_bpe_encode_matches_hf(bpe_pair):
+    ours, hf = bpe_pair
+    for s in SENTENCES:
+        assert ours.tokenize(s) == hf.tokenize(s), s
+        assert ours.encode(s) == hf.encode(s), s
+
+
+def test_clip_bpe_batch_encode_matches_hf(bpe_pair):
+    ours, hf = bpe_pair
+    texts = [s for s in SENTENCES if s.strip()]
+    enc = hf(texts, padding=True, return_tensors="np", max_length=77, truncation=True)
+    ids, mask = ours.batch_encode(texts)
+    np.testing.assert_array_equal(ids, enc["input_ids"].astype(np.int32))
+    np.testing.assert_array_equal(mask, enc["attention_mask"].astype(np.int32))
+
+
+def test_clip_bpe_truncation_matches_hf(bpe_pair):
+    ours, hf = bpe_pair
+    long_text = "the girl " * 60
+    enc = hf([long_text], padding=True, return_tensors="np", max_length=77, truncation=True)
+    ids, _ = ours.batch_encode([long_text])
+    np.testing.assert_array_equal(ids, enc["input_ids"].astype(np.int32))
+    assert ids.shape[1] == 77
+
+
+def test_token_masks_period_rule():
+    vocab = make_test_wordpiece_vocab()
+    mask_mid, mask_last = build_token_masks(vocab)
+    period = vocab["."]
+    assert mask_mid[period] == 0.0 and mask_last[period] == 1.0
+    # word tokens allowed everywhere
+    assert mask_mid[vocab["girl"]] == 1.0 and mask_last[vocab["girl"]] == 1.0
+    # punctuation / numbers / unused / specials banned
+    for tok in (",", "7", "[unused3]", "[MASK]", "[CLS]"):
+        assert mask_mid[vocab[tok]] == 0.0, tok
+        assert mask_last[vocab[tok]] == 0.0, tok
+
+
+def test_extra_stop_words():
+    vocab = make_test_wordpiece_vocab()
+    mask_mid, _ = build_token_masks(vocab, extra_stop_words=["girl"])
+    assert mask_mid[vocab["girl"]] == 0.0
