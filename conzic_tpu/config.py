@@ -1,0 +1,112 @@
+"""Single configuration dataclass shared by CLI / API / web UI.
+
+The reference duplicates ~60 argparse lines across three entry points
+(``/root/reference/demo.py:15-76``, ``run.py:15-76``, ``app.py:17-78``);
+here one dataclass carries flag parity (same names, same defaults) plus the
+TPU-specific knobs of the rebuild.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import List, Optional, Sequence
+
+DEFAULT_POS_TEMPLATE: List[List[str]] = [
+    ["DET"], ["ADJ", "NOUN"], ["NOUN"], ["VERB"], ["VERB"], ["ADV"],
+    ["ADP"], ["DET", "NOUN"], ["NOUN"], ["NOUN", "."], [".", "NOUN"],
+    [".", "NOUN"],
+]
+
+
+@dataclasses.dataclass
+class ConzicConfig:
+    # --- reference flags (demo.py:15-76 names & defaults) -----------------
+    seed: int = 42
+    batch_size: int = 1
+    run_type: str = "caption"  # caption | controllable
+    prompt: str = "Image of a"
+    order: str = "shuffle"  # sequential | shuffle | span | random | parallel
+    control_type: str = "sentiment"  # sentiment | pos
+    sentiment_type: str = "positive"  # positive | negative
+    pos_type: List[List[str]] = dataclasses.field(
+        default_factory=lambda: [list(s) for s in DEFAULT_POS_TEMPLATE]
+    )
+    samples_num: int = 2
+    sentence_len: int = 10
+    candidate_k: int = 200
+    alpha: float = 0.02
+    beta: float = 2.0
+    gamma: float = 5.0
+    lm_temperature: float = 0.1
+    num_iterations: int = 10
+    lm_model: str = "bert-base-uncased"
+    match_model: str = "openai/clip-vit-base-patch32"
+    caption_img_path: str = "./examples/girl.jpg"
+    stop_words_path: Optional[str] = None  # rule-derived mask when None
+    add_extra_stopwords: List[str] = dataclasses.field(default_factory=list)
+
+    # --- rebuild-specific knobs ------------------------------------------
+    dtype: str = "bfloat16"  # compute dtype on TPU; "float32" for parity
+    clip_len: int = 32  # static CLIP context (<=77); 77 = reference max
+    attn_impl: str = "xla"  # xla | pallas
+    mesh_data_axis: int = 1  # chips to shard the (images x samples) batch over
+    matmul_precision: str = "default"  # default | high | highest
+    verbose: bool = True
+    logger_dir: str = "logger"
+    results_dir: str = "results"
+
+    def validate(self) -> None:
+        assert self.order in ("sequential", "shuffle", "span", "random", "parallel")
+        assert self.run_type in ("caption", "controllable")
+        assert self.control_type in ("sentiment", "pos")
+        assert self.sentiment_type in ("positive", "negative")
+        assert 1 <= self.clip_len <= 77
+
+
+def add_reference_args(p: argparse.ArgumentParser) -> None:
+    """Flags mirroring the reference CLIs (demo.py:15-76 / run.py:15-76)."""
+    d = ConzicConfig()
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--device", type=str, default="tpu",
+                   choices=["tpu", "cpu", "cuda"],
+                   help="accepted for reference parity; jax picks the backend")
+    p.add_argument("--run_type", default=d.run_type, nargs="?",
+                   choices=["caption", "controllable"])
+    p.add_argument("--prompt", default=d.prompt, type=str)
+    p.add_argument("--order", default=d.order, nargs="?",
+                   choices=["sequential", "shuffle", "span", "random", "parallel"])
+    p.add_argument("--control_type", default=d.control_type, nargs="?",
+                   choices=["sentiment", "pos"])
+    p.add_argument("--sentiment_type", default=d.sentiment_type, nargs="?",
+                   choices=["positive", "negative"])
+    p.add_argument("--samples_num", default=d.samples_num, type=int)
+    p.add_argument("--sentence_len", type=int, default=d.sentence_len)
+    p.add_argument("--candidate_k", type=int, default=d.candidate_k)
+    p.add_argument("--alpha", type=float, default=d.alpha)
+    p.add_argument("--beta", type=float, default=d.beta)
+    p.add_argument("--gamma", type=float, default=d.gamma)
+    p.add_argument("--lm_temperature", type=float, default=d.lm_temperature)
+    p.add_argument("--num_iterations", type=int, default=d.num_iterations)
+    p.add_argument("--lm_model", type=str, default=d.lm_model)
+    p.add_argument("--match_model", type=str, default=d.match_model)
+    p.add_argument("--caption_img_path", type=str, default=d.caption_img_path)
+    p.add_argument("--stop_words_path", type=str, default=None)
+    p.add_argument("--add_extra_stopwords", type=str, nargs="*", default=[])
+    # rebuild knobs
+    p.add_argument("--dtype", type=str, default=d.dtype,
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--clip_len", type=int, default=d.clip_len)
+    p.add_argument("--attn_impl", type=str, default=d.attn_impl,
+                   choices=["xla", "pallas"])
+    p.add_argument("--mesh_data_axis", type=int, default=d.mesh_data_axis)
+
+
+def config_from_args(args: argparse.Namespace) -> ConzicConfig:
+    cfg = ConzicConfig()
+    for f in dataclasses.fields(ConzicConfig):
+        if hasattr(args, f.name):
+            setattr(cfg, f.name, getattr(args, f.name))
+    cfg.validate()
+    return cfg

@@ -1,0 +1,130 @@
+"""Scoring energies as pure, fusable functions.
+
+The reference combines its energies inline in five near-identical Python
+loops (``/root/reference/gen_utils.py:77``,
+``control_gen_utils.py:59,114,169``):
+
+    final = alpha * lm_probs + beta * clip_probs
+            [+ gamma * ctl_probs + 0.1 * (1 - exp(repeats))]
+
+Here each term is a ``(B, K)`` pure function; XLA fuses the whole
+combination + argmax into the surrounding program. Control terms are
+device-side table gathers (see ``text/lexicons.py``) instead of per-sentence
+NLTK calls.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_lm_probs(
+    logits: jax.Array, token_mask: jax.Array, temperature: Optional[float]
+) -> jax.Array:
+    """softmax over the full vocab, then stop-word mask — the reference's
+    exact order of operations (gen_utils.py:42-47: mask multiplies already-
+    softmaxed probs, so the kept entries are NOT renormalized)."""
+    logits = logits.astype(jnp.float32)
+    if temperature is not None:
+        logits = logits / temperature
+    probs = jax.nn.softmax(logits, axis=-1)
+    return probs * token_mask
+
+
+def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int):
+    """Top-k of masked probs; candidate ids with zero mask collapse to 0
+    ([PAD]) exactly like the reference's ``(idxs * mask[idxs]).long()``
+    (gen_utils.py:72)."""
+    top_probs, idxs = jax.lax.top_k(probs, k)
+    idxs = (idxs * token_mask[idxs].astype(idxs.dtype)).astype(jnp.int32)
+    return top_probs, idxs
+
+
+def repeat_penalty(cand_ids: jax.Array, cand_rows: jax.Array) -> jax.Array:
+    """``0.1 * (1 - exp(repeats))`` where repeats counts how often the
+    candidate id already occurs in its (candidate-substituted) full row,
+    minus one for itself (control_gen_utils.py:53,59).
+
+    cand_ids: (B, K); cand_rows: (B, K, S) full BERT rows.
+    """
+    eq = (cand_ids[:, :, None] == cand_rows).astype(jnp.float32)
+    repeats = jnp.sum(eq, axis=2) - 1.0
+    return 0.1 * (1.0 - jnp.exp(repeats))
+
+
+def sentiment_scores(
+    cand_rows: jax.Array, senti_table: jax.Array, negative: bool
+) -> jax.Array:
+    """Sentence-level valence: sum of per-token valences over the row,
+    sign-flipped for negative control (sentiments_classifer.py:30-32).
+
+    cand_rows: (..., S) BERT ids (specials/pieces carry valence 0).
+    """
+    s = jnp.sum(senti_table[cand_rows], axis=-1)
+    return -s if negative else s
+
+
+def sentiment_probs(scores: jax.Array, temperature: float = 1.0) -> jax.Array:
+    """softmax over candidates (sentiments_classifer.py:46-47; callers pass
+    temperature=1)."""
+    return jax.nn.softmax(scores / temperature, axis=-1)
+
+
+def pos_accuracy(
+    word_ids: jax.Array,
+    pos_table: jax.Array,
+    template: jax.Array,
+    word_valid: jax.Array,
+) -> jax.Array:
+    """Template-match accuracy (POS_classifier.py:18-27).
+
+    Args:
+      word_ids: (..., W) BERT ids of the caption words in order
+        (prompt words + sentence slots).
+      pos_table: (V,) universal tag id per vocab token; id ``num_tags``
+        reserved implicitly for "no word".
+      template: (T, num_tags+1) binary accept matrix
+        (lexicons.template_matrix).
+      word_valid: (..., W) 1 where the slot holds a real word (specials /
+        PAD slots tag as "no word", matching the reference's '' padding).
+
+    Returns:
+      (...,) accuracy = matched-slots / T over the first T words.
+    """
+    T, C = template.shape
+    num_tags = C - 1
+    tags = jnp.where(word_valid.astype(bool), pos_table[word_ids], num_tags)
+    W = tags.shape[-1]
+    if W < T:
+        pad = jnp.full(tags.shape[:-1] + (T - W,), num_tags, tags.dtype)
+        tags = jnp.concatenate([tags, pad], axis=-1)
+    else:
+        tags = tags[..., :T]
+    slot = jnp.arange(T)
+    match = template[slot, tags]  # (..., T) via broadcast gather
+    return jnp.mean(match, axis=-1)
+
+
+def pos_probs(acc: jax.Array, temperature: float = 0.1) -> jax.Array:
+    """softmax(acc / 0.1) over candidates (control_gen_utils.py:167)."""
+    return jax.nn.softmax(acc / temperature, axis=-1)
+
+
+def combine_scores(
+    lm_probs: jax.Array,
+    clip_probs: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    ctl_probs: Optional[jax.Array] = None,
+    gamma: Optional[jax.Array] = None,
+    penalty: Optional[jax.Array] = None,
+) -> jax.Array:
+    score = alpha * lm_probs + beta * clip_probs
+    if ctl_probs is not None:
+        score = score + gamma * ctl_probs
+    if penalty is not None:
+        score = score + penalty
+    return score

@@ -1,0 +1,324 @@
+"""The Gibbs polishing engine — one XLA program per generation.
+
+Reference behavior (``/root/reference/gen_utils.py:51-96`` and the
+controlled variants in ``control_gen_utils.py``): for each iteration and
+each position in a schedule, mask the position, take BERT's top-k proposals,
+materialize k candidate sentences, score them with
+``alpha * lm + beta * clip (+ gamma * ctl + repeat penalty)`` and commit the
+argmax; track the best-by-cosine caption across iterations.
+
+The rebuild runs the ENTIRE multi-iteration generation as one jit-compiled
+program: ``lax.scan`` over iterations of ``lax.scan`` over positions, with
+
+  - the masked-position BERT forward computing the vocab projection only at
+    the masked slot(s) (the reference pays the full (B, S, 30522) logits
+    every step, gen_utils.py:69);
+  - the k-candidate expansion as a broadcast + scatter ((B, k, S) ids);
+  - candidate CLIP sequences assembled on device via the BERT->CLIP bridge
+    (no host decode/re-tokenize round-trip, cf. gen_utils.py:75-76);
+  - one batched CLIP text forward of (B*k, clip_len) per position;
+  - energy combination + argmax + commit fused by XLA.
+
+Host code touches data only before (image encode, init ids, schedule) and
+after (decode snapshots) the program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conzic_tpu import energies
+from conzic_tpu.engine.orders import SPAN_LEN, Schedule
+from conzic_tpu.models.bert import BertForMaskedLM
+from conzic_tpu.models.clip import CLIPModel
+from conzic_tpu.text.bridge import assemble_clip_ids
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineSpec:
+    """Static (compile-time) engine parameters."""
+
+    seed_len: int  # 1 + number of prompt tokens ([CLS] + prompt)
+    sentence_len: int
+    seq_len: int  # full BERT row length = seed_len + sentence_len + 1
+    candidate_k: int
+    clip_len: int
+    mask_token_id: int
+    clip_bos_id: int
+    clip_eos_id: int
+    clip_pad_id: int
+    ctl: Optional[str] = None  # None | "sentiment" | "pos"
+    negative: bool = False  # sentiment polarity
+    order_kind: str = "single"  # single | span | parallel
+
+
+class IterOut(NamedTuple):
+    ids: jax.Array  # (B, S) snapshot after the iteration
+    cosine: jax.Array  # (B,) clip cosine of the last committed candidate
+    ctl_score: jax.Array  # (B,) control score of the last committed candidate
+
+
+def _position_update(
+    spec: EngineSpec,
+    bert: BertForMaskedLM,
+    clip: CLIPModel,
+    params: Dict[str, Any],
+    tables: Dict[str, jax.Array],
+    hyper: Dict[str, jax.Array],
+    image_embeds: jax.Array,
+    base_ids: jax.Array,
+    commit_ids: jax.Array,
+    pos: jax.Array,
+    logits: jax.Array,
+    token_mask: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Score k candidates for ``pos`` and commit the argmax.
+
+    base_ids: rows candidates are built from; commit_ids: rows the winner is
+    written into (they differ only in parallel order, gen_utils.py:257-271).
+    Returns (new_commit_ids, cosine_sel, ctl_sel).
+    """
+    B = base_ids.shape[0]
+    k = spec.candidate_k
+    col = spec.seed_len + pos
+
+    probs = energies.masked_lm_probs(logits, token_mask, hyper["temperature"])
+    top_probs, idxs = energies.topk_candidates(probs, token_mask, k)
+
+    # (B, k, S) candidate rows
+    cand = jnp.broadcast_to(base_ids[:, None, :], (B, k, base_ids.shape[1]))
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (base_ids.shape[1],), 0) == col
+    )
+    cand = jnp.where(onehot[None, None, :], idxs[:, :, None], cand)
+
+    # CLIP scoring over the caption span (prompt + sentence, no CLS/SEP)
+    inner = cand[:, :, 1 : spec.seq_len - 1]
+    clip_ids, clip_mask = assemble_clip_ids(
+        inner,
+        tables["bridge_ids"],
+        tables["bridge_lens"],
+        bos_id=spec.clip_bos_id,
+        eos_id=spec.clip_eos_id,
+        pad_id=spec.clip_pad_id,
+        clip_len=spec.clip_len,
+    )
+    text_embeds = clip.apply(
+        {"params": params["clip"]},
+        clip_ids.reshape(B * k, spec.clip_len),
+        clip_mask.reshape(B * k, spec.clip_len),
+        method=CLIPModel.encode_text,
+    )
+    clip_probs, cosine = clip.apply(
+        {"params": params["clip"]},
+        image_embeds,
+        text_embeds,
+        method=CLIPModel.similarity,
+    )
+
+    ctl_probs = None
+    penalty = None
+    ctl_score = jnp.zeros((B, k), jnp.float32)
+    if spec.ctl == "sentiment":
+        ctl_score = energies.sentiment_scores(
+            cand, tables["senti"], negative=spec.negative
+        )
+        ctl_probs = energies.sentiment_probs(ctl_score)
+        penalty = energies.repeat_penalty(idxs, cand)
+    elif spec.ctl == "pos":
+        word_valid = (tables["bridge_lens"][inner] > 0).astype(jnp.int32)
+        ctl_score = energies.pos_accuracy(
+            inner, tables["pos"], tables["template"], word_valid
+        )
+        ctl_probs = energies.pos_probs(ctl_score)
+
+    final = energies.combine_scores(
+        top_probs,
+        clip_probs,
+        hyper["alpha"],
+        hyper["beta"],
+        ctl_probs=ctl_probs,
+        gamma=hyper["gamma"],
+        penalty=penalty,
+    )
+    sel = jnp.argmax(final, axis=1)  # (B,)
+    chosen = jnp.take_along_axis(idxs, sel[:, None], axis=1)[:, 0]
+    new_ids = commit_ids.at[:, col].set(chosen)
+    cos_sel = jnp.take_along_axis(cosine, sel[:, None], axis=1)[:, 0]
+    ctl_sel = jnp.take_along_axis(ctl_score, sel[:, None], axis=1)[:, 0]
+    return new_ids, cos_sel, ctl_sel
+
+
+def _token_mask_for(spec: EngineSpec, tables, pos):
+    return jnp.where(
+        pos == spec.sentence_len - 1, tables["mask_last"], tables["mask_mid"]
+    )
+
+
+def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds):
+    """Returns iteration_fn(ids, schedule_row) -> (ids, cos, ctl)."""
+
+    def fresh_logits(ids, pos):
+        col = spec.seed_len + pos
+        masked = ids.at[:, col].set(spec.mask_token_id)
+        hidden = bert.apply(
+            {"params": params["bert"]}, masked, method=BertForMaskedLM.hidden
+        )
+        hvec = hidden[:, col]  # (B, H), vocab projection only at the slot
+        logits = bert.apply(
+            {"params": params["bert"]}, hvec, method=BertForMaskedLM.lm_head
+        )
+        return masked, logits
+
+    update = functools.partial(
+        _position_update, spec, bert, clip, params, tables, hyper, image_embeds
+    )
+
+    if spec.order_kind == "single":
+
+        def step(carry, pos):
+            ids, _, _ = carry
+            masked, logits = fresh_logits(ids, pos)
+            mask = _token_mask_for(spec, tables, pos)
+            new_ids, cos, ctl = update(masked, masked, pos, logits, mask)
+            return (new_ids, cos, ctl), None
+
+        def iteration(ids, row):
+            B = ids.shape[0]
+            z = jnp.zeros((B,), jnp.float32)
+            (ids, cos, ctl), _ = jax.lax.scan(step, (ids, z, z), row)
+            return ids, cos, ctl
+
+        return iteration
+
+    if spec.order_kind == "span":
+
+        def span_body(carry, start_size):
+            ids, _, _ = carry
+            start, size = start_size
+            offs = jnp.arange(SPAN_LEN, dtype=jnp.int32)
+            cols = spec.seed_len + start + offs
+            valid = offs < size
+            # mask the whole (valid part of the) span: gen_utils.py:164
+            cur = ids[:, cols]  # (B, SPAN)
+            vals = jnp.where(valid[None, :], spec.mask_token_id, cur)
+            ids = ids.at[:, cols].set(vals)
+            # ONE stale forward for the span (gen_utils.py:165)
+            hidden = bert.apply(
+                {"params": params["bert"]}, ids, method=BertForMaskedLM.hidden
+            )
+            hspan = hidden[:, cols]  # (B, SPAN, H)
+            logits_span = bert.apply(
+                {"params": params["bert"]}, hspan, method=BertForMaskedLM.lm_head
+            )
+
+            def inner(carry, j):
+                ids, cos0, ctl0 = carry
+                pos = start + j
+
+                def do(ids):
+                    mask = _token_mask_for(spec, tables, pos)
+                    return update(ids, ids, pos, logits_span[:, j], mask)
+
+                new_ids, cos, ctl = jax.lax.cond(
+                    j < size, do, lambda ids: (ids, cos0, ctl0), ids
+                )
+                return (new_ids, cos, ctl), None
+
+            carry, _ = jax.lax.scan(
+                inner, (ids, carry[1], carry[2]), jnp.arange(SPAN_LEN)
+            )
+            return carry, None
+
+        def iteration(ids, row):
+            starts, sizes = row
+            B = ids.shape[0]
+            z = jnp.zeros((B,), jnp.float32)
+            (ids, cos, ctl), _ = jax.lax.scan(
+                span_body, (ids, z, z), (starts, sizes)
+            )
+            return ids, cos, ctl
+
+        return iteration
+
+    if spec.order_kind == "parallel":
+
+        def iteration(ids, _row):
+            B = ids.shape[0]
+            base = ids  # candidates built from iteration-start rows
+            # one UNMASKED forward (gen_utils.py:258 — quirk preserved)
+            hidden = bert.apply(
+                {"params": params["bert"]}, ids, method=BertForMaskedLM.hidden
+            )
+            hspan = hidden[:, spec.seed_len : spec.seed_len + spec.sentence_len]
+            logits_all = bert.apply(
+                {"params": params["bert"]}, hspan, method=BertForMaskedLM.lm_head
+            )
+
+            def step(carry, kk):
+                ids, _, _ = carry
+                # reference parallel never updates the token mask; the
+                # initial mask allows '.' everywhere (see PARITY.md)
+                new_ids, cos, ctl = update(
+                    base, ids, kk, logits_all[:, kk], tables["mask_last"]
+                )
+                return (new_ids, cos, ctl), None
+
+            z = jnp.zeros((B,), jnp.float32)
+            (ids, cos, ctl), _ = jax.lax.scan(
+                step, (ids, z, z), jnp.arange(spec.sentence_len)
+            )
+            return ids, cos, ctl
+
+        return iteration
+
+    raise ValueError(spec.order_kind)
+
+
+def run_generation(
+    spec: EngineSpec,
+    bert: BertForMaskedLM,
+    clip: CLIPModel,
+    params: Dict[str, Any],
+    tables: Dict[str, jax.Array],
+    hyper: Dict[str, jax.Array],
+    image_embeds: jax.Array,
+    init_ids: jax.Array,
+    schedule_positions: jax.Array,
+    schedule_sizes: Optional[jax.Array],
+):
+    """The full multi-iteration generation (jit this).
+
+    Returns (iter_ids (I,B,S), iter_cos (I,B), iter_ctl (I,B),
+    best_ids (B,S), best_cos (B,)). Best tracking matches
+    gen_utils.py:85-88: strictly-greater update on the per-iteration cosine,
+    initialized at 0.
+    """
+    iteration = _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds)
+    B = init_ids.shape[0]
+
+    def outer(carry, row):
+        ids, best_cos, best_ids = carry
+        ids, cos, ctl = iteration(ids, row)
+        improved = best_cos < cos
+        best_cos = jnp.where(improved, cos, best_cos)
+        best_ids = jnp.where(improved[:, None], ids, best_ids)
+        return (ids, best_cos, best_ids), IterOut(ids, cos, ctl)
+
+    if spec.order_kind == "span":
+        xs = (schedule_positions, schedule_sizes)
+    else:
+        xs = schedule_positions
+    init = (
+        init_ids,
+        jnp.zeros((B,), jnp.float32),
+        init_ids,
+    )
+    (ids, best_cos, best_ids), outs = jax.lax.scan(outer, init, xs)
+    return outs.ids, outs.cosine, outs.ctl_score, best_ids, best_cos

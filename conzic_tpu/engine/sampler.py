@@ -1,0 +1,454 @@
+"""High-level captioning API with the reference's behavioral contract.
+
+``Captioner`` owns models/params/tokenizers/tables and compiles one XLA
+program per (order, control, shape) combination.
+``generate_caption`` / ``control_generate_caption`` mirror the reference
+entry functions (``/root/reference/gen_utils.py:289-333``,
+``control_gen_utils.py:197-232``): both return
+``(gen_texts_list, clip_score_sequence)`` where index ``[-2]`` is the
+final-iteration caption and ``[-1]`` the best-by-CLIPScore caption.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from conzic_tpu.config import ConzicConfig
+from conzic_tpu.engine.gibbs import EngineSpec, run_generation
+from conzic_tpu.engine.orders import Schedule, build_schedule
+from conzic_tpu.models.bert import BertForMaskedLM
+from conzic_tpu.models.clip import CLIPModel
+from conzic_tpu.models.configs import BertConfig, CLIPConfig
+from conzic_tpu.parallel import mesh as mesh_lib
+from conzic_tpu.runtime.image import preprocess_batch_pil
+from conzic_tpu.text.bpe import CLIPBPETokenizer
+from conzic_tpu.text.bridge import build_bridge_table
+from conzic_tpu.text.lexicons import (
+    build_pos_table,
+    build_sentiment_table,
+    template_matrix,
+)
+from conzic_tpu.text.vocab import (
+    build_token_masks,
+    load_stop_words_file,
+    make_test_bpe_files,
+    make_test_wordpiece_vocab,
+)
+from conzic_tpu.text.wordpiece import WordPieceTokenizer
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    gen_texts_list: List[List[str]]  # per-iteration captions + best at [-1]
+    clip_score_sequence: List[List[float]]
+    iter_ids: np.ndarray  # (I, B, S)
+    iter_ctl: np.ndarray  # (I, B)
+    best_ids: np.ndarray  # (B, S)
+    best_cos: np.ndarray  # (B,)
+    elapsed_s: float
+
+
+class Captioner:
+    def __init__(
+        self,
+        bert_model: BertForMaskedLM,
+        bert_params,
+        clip_model: CLIPModel,
+        clip_params,
+        wp: WordPieceTokenizer,
+        bpe: CLIPBPETokenizer,
+        config: Optional[ConzicConfig] = None,
+        mesh=None,
+    ):
+        self.cfg = config or ConzicConfig()
+        self.bert_model = bert_model
+        self.clip_model = clip_model
+        self.wp = wp
+        self.bpe = bpe
+        self.mesh = mesh
+
+        stop_words = (
+            load_stop_words_file(self.cfg.stop_words_path)
+            if self.cfg.stop_words_path
+            else None
+        )
+        mask_mid, mask_last = build_token_masks(
+            wp.vocab,
+            extra_stop_words=self.cfg.add_extra_stopwords,
+            stop_words=stop_words,
+        )
+        bridge = build_bridge_table(wp, bpe)
+        self.bridge = bridge
+        tables = {
+            "mask_mid": jnp.asarray(mask_mid),
+            "mask_last": jnp.asarray(mask_last),
+            "bridge_ids": jnp.asarray(bridge.ids),
+            "bridge_lens": jnp.asarray(bridge.lens),
+            "senti": jnp.asarray(build_sentiment_table(wp.vocab)),
+            "pos": jnp.asarray(build_pos_table(wp.vocab)),
+            "template": jnp.asarray(template_matrix(self.cfg.pos_type)),
+        }
+        params = {"bert": bert_params, "clip": clip_params}
+        self.tables = mesh_lib.replicate(mesh, tables)
+        self.params = mesh_lib.replicate(
+            mesh, jax.tree.map(jnp.asarray, params)
+        )
+        self._jit_cache: Dict[Any, Any] = {}
+        self._encode_image_jit = jax.jit(
+            lambda params, px: clip_model.apply(
+                {"params": params}, px, method=CLIPModel.encode_image
+            )
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_pretrained(
+        cls, config: ConzicConfig, mesh=None
+    ) -> "Captioner":
+        """Load from local HF checkpoint directories named by
+        ``config.lm_model`` / ``config.match_model``."""
+        from conzic_tpu.models.convert import load_bert, load_clip
+
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        bert_cfg, bert_params = load_bert(config.lm_model)
+        clip_cfg, clip_params = load_clip(config.match_model)
+        bert = BertForMaskedLM(bert_cfg, dtype=dtype, attn_impl=config.attn_impl)
+        clip = CLIPModel(clip_cfg, dtype=dtype, attn_impl=config.attn_impl)
+        wp = WordPieceTokenizer.from_pretrained(config.lm_model)
+        bpe = CLIPBPETokenizer.from_pretrained(config.match_model)
+        return cls(bert, bert_params, clip, clip_params, wp, bpe, config, mesh)
+
+    @classmethod
+    def from_random(
+        cls,
+        config: Optional[ConzicConfig] = None,
+        bert_config: Optional[BertConfig] = None,
+        clip_config: Optional[CLIPConfig] = None,
+        seed: int = 0,
+        tmpdir: Optional[str] = None,
+        mesh=None,
+        dtype=None,
+    ) -> "Captioner":
+        """Deterministic random-init models over synthetic vocabularies —
+        the no-download path used by tests, dry-runs and throughput
+        benchmarks (weight values don't affect speed)."""
+        import os
+        import tempfile
+
+        config = config or ConzicConfig()
+        tmpdir = tmpdir or tempfile.mkdtemp(prefix="conzic_vocab_")
+        vocab = make_test_wordpiece_vocab()
+        wp_path = os.path.join(tmpdir, "vocab.txt")
+        with open(wp_path, "w", encoding="utf-8") as f:
+            for tok in sorted(vocab, key=vocab.get):
+                f.write(tok + "\n")
+        wp = WordPieceTokenizer.from_vocab_file(wp_path)
+        bpe = CLIPBPETokenizer.from_files(*make_test_bpe_files(tmpdir))
+        bert_config = bert_config or BertConfig.tiny(vocab_size=wp.vocab_size)
+        if bert_config.vocab_size != wp.vocab_size:
+            bert_config = dataclasses.replace(
+                bert_config, vocab_size=wp.vocab_size
+            )
+        clip_config = clip_config or CLIPConfig.tiny()
+        if clip_config.text.vocab_size < bpe.vocab_size:
+            clip_config = dataclasses.replace(
+                clip_config,
+                text=dataclasses.replace(
+                    clip_config.text, vocab_size=bpe.vocab_size
+                ),
+            )
+        if dtype is None:
+            dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        bert = BertForMaskedLM(bert_config, dtype=dtype, attn_impl=config.attn_impl)
+        clip = CLIPModel(clip_config, dtype=dtype, attn_impl=config.attn_impl)
+        key = jax.random.PRNGKey(seed)
+        bert_params = bert.init_params(jax.random.fold_in(key, 0))
+        clip_params = clip.init_params(jax.random.fold_in(key, 1))
+        return cls(bert, bert_params, clip, clip_params, wp, bpe, config, mesh)
+
+    # ------------------------------------------------------------------
+    def encode_images(self, images) -> jax.Array:
+        """PIL images (or preprocessed NHWC array) -> (B, D) embeddings.
+        Image is encoded ONCE per generation (reference
+        gen_utils.py:58 / clip/clip.py:48-62)."""
+        if isinstance(images, (list, tuple)):
+            pixels = preprocess_batch_pil(
+                images, self.clip_model.config.vision.image_size
+            )
+        else:
+            pixels = np.asarray(images, np.float32)
+            if pixels.ndim == 3:
+                pixels = pixels[None]
+        pixels = mesh_lib.shard_batch(self.mesh, jnp.asarray(pixels))
+        return self._encode_image_jit(self.params["clip"], pixels)
+
+    def init_ids(self, prompt: str, max_len: int, batch_size: int) -> np.ndarray:
+        """[CLS] prompt [MASK]*L [SEP], replicated (utils.py:46-51)."""
+        text = prompt + self.wp.mask_token * max_len
+        row = self.wp.encode(text)
+        return np.tile(np.asarray(row, np.int32), (batch_size, 1))
+
+    def seed_len(self, prompt: str) -> int:
+        return 1 + len(self.wp.encode(prompt, add_special_tokens=False))
+
+    # ------------------------------------------------------------------
+    def _spec(self, prompt, max_len, top_k, order_kind, ctl, negative) -> EngineSpec:
+        seed_len = self.seed_len(prompt)
+        return EngineSpec(
+            seed_len=seed_len,
+            sentence_len=max_len,
+            seq_len=seed_len + max_len + 1,
+            candidate_k=top_k,
+            clip_len=self.cfg.clip_len,
+            mask_token_id=self.wp.mask_token_id,
+            clip_bos_id=self.bridge.bos_id,
+            clip_eos_id=self.bridge.eos_id,
+            clip_pad_id=self.bridge.pad_id,
+            ctl=ctl,
+            negative=negative,
+            order_kind=order_kind,
+        )
+
+    def _compiled(self, spec: EngineSpec):
+        fn = self._jit_cache.get(spec)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    run_generation, spec, self.bert_model, self.clip_model
+                )
+            )
+            self._jit_cache[spec] = fn
+        return fn
+
+    def run(
+        self,
+        image_embeds: jax.Array,
+        *,
+        prompt: str,
+        max_len: int,
+        top_k: int,
+        temperature: float,
+        max_iter: int,
+        alpha: float,
+        beta: float,
+        gamma: float = 0.0,
+        order: str = "sequential",
+        ctl: Optional[str] = None,
+        negative: bool = False,
+        rng: Optional[np.random.RandomState] = None,
+    ) -> GenerationResult:
+        """Run one full generation; decode snapshots on host afterwards."""
+        rng = rng or np.random.RandomState(self.cfg.seed)
+        sched = build_schedule(order, max_len, max_iter, rng)
+        spec = self._spec(
+            prompt, max_len, top_k,
+            sched.kind, ctl, negative,
+        )
+        B = int(image_embeds.shape[0])
+        init = self.init_ids(prompt, max_len, B)
+        assert init.shape[1] == spec.seq_len, (
+            f"prompt tokenizes to {init.shape[1]} != spec {spec.seq_len}"
+        )
+        hyper = {
+            "alpha": jnp.float32(alpha),
+            "beta": jnp.float32(beta),
+            "gamma": jnp.float32(gamma),
+            "temperature": jnp.float32(temperature),
+        }
+        positions = jnp.asarray(sched.positions)
+        sizes = jnp.asarray(sched.span_sizes) if sched.span_sizes is not None else None
+        init_dev = mesh_lib.shard_batch(self.mesh, jnp.asarray(init))
+
+        t0 = time.time()
+        iter_ids, iter_cos, iter_ctl, best_ids, best_cos = self._compiled(spec)(
+            self.params, self.tables, hyper, image_embeds, init_dev,
+            positions, sizes,
+        )
+        iter_ids = np.asarray(iter_ids)
+        iter_cos = np.asarray(iter_cos)
+        iter_ctl = np.asarray(iter_ctl)
+        best_ids = np.asarray(best_ids)
+        best_cos = np.asarray(best_cos)
+        elapsed = time.time() - t0
+
+        gen_texts_list: List[List[str]] = []
+        clip_score_sequence: List[List[float]] = []
+        for i in range(iter_ids.shape[0]):
+            gen_texts_list.append(
+                self.wp.batch_decode(iter_ids[i], skip_special_tokens=True)
+            )
+            clip_score_sequence.append([float(c) for c in iter_cos[i]])
+        best_caps = []
+        for b in range(B):
+            if best_cos[b] > 0:
+                best_caps.append(
+                    self.wp.decode(best_ids[b], skip_special_tokens=True)
+                )
+            else:  # never improved over the 0-initialized best
+                best_caps.append("None")
+        gen_texts_list.append(best_caps)
+        clip_score_sequence.append([float(c) for c in best_cos])
+        return GenerationResult(
+            gen_texts_list=gen_texts_list,
+            clip_score_sequence=clip_score_sequence,
+            iter_ids=iter_ids,
+            iter_ctl=iter_ctl,
+            best_ids=best_ids,
+            best_cos=best_cos,
+            elapsed_s=elapsed,
+        )
+
+    # ------------------------------------------------------------------
+    def log_iterations(
+        self,
+        logger: logging.Logger,
+        img_name: Sequence[str],
+        result: GenerationResult,
+        with_ctl: bool = False,
+    ) -> None:
+        """Per-iteration logs in the reference format (gen_utils.py:89-90,
+        control_gen_utils.py:73-74). Emitted after the run — the program is
+        one XLA computation, so logs are not interleaved with compute."""
+        I = result.iter_ids.shape[0]
+        B = result.iter_ids.shape[1]
+        for i in range(I):
+            for_print = self.wp.batch_decode(result.iter_ids[i])
+            for jj in range(B):
+                cos = result.clip_score_sequence[i][jj]
+                if with_ctl:
+                    logger.info(
+                        f"iter {i + 1}, The {jj + 1}-th image: {img_name[jj]},"
+                        f" clip score {cos:.3f}, ctl score "
+                        f"{result.iter_ctl[i][jj]:.3f}: " + for_print[jj]
+                    )
+                else:
+                    logger.info(
+                        f"iter {i + 1}, The {jj + 1}-th image: {img_name[jj]},"
+                        f"clip score {cos:.3f}: " + for_print[jj]
+                    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-contract entry functions (gen_utils.py:289 / control_gen_utils.py:197)
+# ---------------------------------------------------------------------------
+
+def generate_caption(
+    img_name,
+    captioner: Captioner,
+    image_instance,
+    logger: logging.Logger,
+    prompt: str = "",
+    batch_size: int = 1,
+    max_len: int = 15,
+    top_k: int = 100,
+    temperature: float = 1.0,
+    max_iter: int = 500,
+    alpha: float = 0.7,
+    beta: float = 1.0,
+    generate_order: str = "sequential",
+    rng: Optional[np.random.RandomState] = None,
+) -> Tuple[List[List[str]], List[List[float]]]:
+    start = time.time()
+    image_embeds = (
+        image_instance
+        if isinstance(image_instance, jax.Array)
+        else captioner.encode_images(
+            image_instance if isinstance(image_instance, (list, tuple)) else [image_instance] * batch_size
+        )
+    )
+    result = captioner.run(
+        image_embeds,
+        prompt=prompt,
+        max_len=max_len,
+        top_k=top_k,
+        temperature=temperature,
+        max_iter=max_iter,
+        alpha=alpha,
+        beta=beta,
+        order=generate_order,
+        rng=rng,
+    )
+    if captioner.cfg.verbose:
+        captioner.log_iterations(logger, img_name, result)
+    logger.info("Finished in %.3fs" % (time.time() - start))
+    final_caption = result.gen_texts_list[-2]
+    best_caption = result.gen_texts_list[-1]
+    for i in range(len(final_caption)):
+        logger.info(f"The {i + 1}-th image: {img_name[i]}")
+        logger.info(f"final caption: {final_caption[i]}")
+        logger.info(f"best caption: {best_caption[i]}")
+    return result.gen_texts_list, result.clip_score_sequence
+
+
+def control_generate_caption(
+    img_name,
+    captioner: Captioner,
+    image_instance,
+    logger: logging.Logger,
+    prompt: str = "",
+    batch_size: int = 10,
+    max_len: int = 25,
+    top_k: int = 100,
+    temperature: float = 1.0,
+    max_iter: int = 500,
+    alpha: float = 0.7,
+    beta: float = 1.0,
+    gamma: float = 5.0,
+    ctl_type: str = "sentiment",
+    style_type: str = "positive",
+    pos_type=None,
+    generate_order: str = "sequential",
+    rng: Optional[np.random.RandomState] = None,
+) -> Tuple[List[List[str]], List[List[float]]]:
+    start = time.time()
+    image_embeds = (
+        image_instance
+        if isinstance(image_instance, jax.Array)
+        else captioner.encode_images(
+            image_instance if isinstance(image_instance, (list, tuple)) else [image_instance] * batch_size
+        )
+    )
+    if ctl_type == "sentiment":
+        # sentiment supports sequential and shuffle (control_gen_utils.py:204-217)
+        order = generate_order if generate_order in ("sequential", "shuffle") else "shuffle"
+        ctl = "sentiment"
+        negative = style_type == "negative"
+    else:
+        order = "sequential"  # POS control is sequential-only (":220")
+        ctl = "pos"
+        negative = False
+        if pos_type is not None:
+            captioner.tables["template"] = jnp.asarray(template_matrix(pos_type))
+    result = captioner.run(
+        image_embeds,
+        prompt=prompt,
+        max_len=max_len,
+        top_k=top_k,
+        temperature=temperature,
+        max_iter=max_iter,
+        alpha=alpha,
+        beta=beta,
+        gamma=gamma,
+        order=order,
+        ctl=ctl,
+        negative=negative,
+        rng=rng,
+    )
+    if captioner.cfg.verbose:
+        captioner.log_iterations(logger, img_name, result, with_ctl=True)
+    logger.info("Finished in %.3fs" % (time.time() - start))
+    final_caption = result.gen_texts_list[-2]
+    best_caption = result.gen_texts_list[-1]
+    for i in range(len(final_caption)):
+        logger.info(f"The {i + 1}-th image: {img_name[i]}")
+        logger.info(f"final caption: {final_caption[i]}")
+        logger.info(f"best caption: {best_caption[i]}")
+    return result.gen_texts_list, result.clip_score_sequence

@@ -3,11 +3,16 @@
 Rebuild of the proposal model the reference loads via
 ``AutoModelForMaskedLM`` (``/root/reference/demo.py:125``) and queries once
 per Gibbs position (``/root/reference/gen_utils.py:69``:
-``out = model(inp).logits``). Returns full ``(B, S, vocab)`` logits.
+``out = model(inp).logits``).
 
 Post-LayerNorm residual blocks, exact (erf) gelu, learned absolute position
 embeddings, token-type embeddings, and the standard MLM transform head whose
 decoder is tied to the word-embedding matrix plus a per-vocab bias.
+
+TPU-first split: ``hidden()`` runs the encoder, ``lm_head()`` projects to
+vocab. The Gibbs engine applies the (hidden x 30522) projection only at the
+masked position(s) instead of the whole sequence — the reference pays the
+full ``(B, S, V)`` logits matmul every step.
 """
 
 from __future__ import annotations
@@ -62,11 +67,8 @@ class BertEmbeddings(nn.Module):
 
 
 class BertMlmHead(nn.Module):
-    """Transform (dense + act + LN) then project to vocab.
-
-    The vocab projection reuses the word-embedding matrix (weight tying, as
-    in the HF checkpoint) plus a free bias.
-    """
+    """Transform (dense + act + LN) then project onto the tied word-embedding
+    matrix plus a free bias. Accepts ``(..., H)`` hidden states."""
 
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
@@ -81,7 +83,7 @@ class BertMlmHead(nn.Module):
             "bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32
         )
         logits = jnp.einsum(
-            "bsh,vh->bsv",
+            "...h,vh->...v",
             h,
             word_embedding.astype(self.dtype),
             preferred_element_type=jnp.float32,
@@ -90,24 +92,21 @@ class BertMlmHead(nn.Module):
 
 
 class BertForMaskedLM(nn.Module):
-    """Full masked-LM model. ``__call__`` returns fp32 ``(B, S, V)`` logits."""
+    """Full masked-LM model.
+
+    ``__call__`` -> fp32 ``(B, S, V)`` logits (HF-equivalent surface).
+    ``hidden``  -> ``(B, S, H)`` encoder states.
+    ``lm_head`` -> vocab logits for any ``(..., H)`` slice.
+    """
 
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
 
-    @nn.compact
-    def __call__(
-        self,
-        input_ids: jax.Array,
-        attention_mask: Optional[jax.Array] = None,
-        token_type_ids: Optional[jax.Array] = None,
-    ) -> jax.Array:
+    def setup(self):
         cfg = self.config
-        embeddings = BertEmbeddings(cfg, dtype=self.dtype, name="embeddings")
-        x = embeddings(input_ids, token_type_ids)
-        bias = make_attention_bias(attention_mask, input_ids.shape[1])
-        x = TransformerStack(
+        self.embeddings = BertEmbeddings(cfg, dtype=self.dtype)
+        self.encoder = TransformerStack(
             num_layers=cfg.num_layers,
             num_heads=cfg.num_heads,
             head_dim=cfg.head_dim,
@@ -117,10 +116,30 @@ class BertForMaskedLM(nn.Module):
             pre_ln=False,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
-            name="encoder",
-        )(x, bias)
+        )
+        self.mlm = BertMlmHead(cfg, dtype=self.dtype)
+
+    def hidden(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        token_type_ids: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        x = self.embeddings(input_ids, token_type_ids)
+        bias = make_attention_bias(attention_mask, input_ids.shape[1])
+        return self.encoder(x, bias)
+
+    def lm_head(self, hidden: jax.Array) -> jax.Array:
         word_table = self.variables["params"]["embeddings"]["word"]["embedding"]
-        return BertMlmHead(cfg, dtype=self.dtype, name="mlm")(x, word_table)
+        return self.mlm(hidden, word_table)
+
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        token_type_ids: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        return self.lm_head(self.hidden(input_ids, attention_mask, token_type_ids))
 
     def init_params(self, rng: jax.Array, seq_len: int = 16):
         ids = jnp.zeros((1, seq_len), jnp.int32)

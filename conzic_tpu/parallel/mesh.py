@@ -1,0 +1,65 @@
+"""Device mesh + sharding for caption-batch scale-out.
+
+The reference is strictly single-device (``/root/reference/demo.py:20-21``;
+no distributed backend anywhere — SURVEY.md §2.3). Captioning is
+embarrassingly parallel over (images x samples), so the TPU-native design
+shards exactly that batch axis over a 1-D ``data`` mesh; model params and
+vocab tables are replicated; no collectives are needed inside the Gibbs
+program except the implicit all-gathers XLA inserts for logging outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """First axis sharded over the data mesh axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Optional[Mesh], tree):
+    """Shard every array's leading axis over the mesh (no-op without mesh)."""
+    if mesh is None:
+        return tree
+    return jax.device_put(tree, batch_sharding(mesh))
+
+
+def replicate(mesh: Optional[Mesh], tree):
+    if mesh is None:
+        return tree
+    return jax.device_put(tree, replicated(mesh))
+
+
+def pad_batch_to_mesh(arrays: Sequence[np.ndarray], mesh: Optional[Mesh]):
+    """Pad a host batch so its leading dim divides the mesh size; returns
+    (padded arrays, original size)."""
+    if mesh is None:
+        return list(arrays), arrays[0].shape[0]
+    n = mesh.devices.size
+    B = arrays[0].shape[0]
+    pad = (-B) % n
+    if pad == 0:
+        return list(arrays), B
+    out = []
+    for a in arrays:
+        pad_block = np.repeat(a[-1:], pad, axis=0)
+        out.append(np.concatenate([a, pad_block], axis=0))
+    return out, B

@@ -1,0 +1,195 @@
+"""End-to-end engine tests on tiny random models.
+
+The key test reimplements the reference's sequential Gibbs loop naively on
+the host (explicit per-position loop, host decode -> CLIP re-tokenize — the
+exact semantics of /root/reference/gen_utils.py:51-96) and checks the
+jit-compiled engine commits byte-identical captions. This validates the
+device-side candidate expansion, bridge assembly, masking rules, score
+combination and argmax selection in one shot.
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conzic_tpu import energies
+from conzic_tpu.engine import Captioner, build_schedule
+from conzic_tpu.models.clip import CLIPModel
+from conzic_tpu.models.bert import BertForMaskedLM
+
+
+@pytest.fixture(scope="module")
+def captioner(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cap")
+    cap = Captioner.from_random(tmpdir=str(d), dtype=jnp.float32)
+    cap.cfg.verbose = False
+    return cap
+
+
+def _naive_sequential(cap, image_embeds, prompt, max_len, top_k, temperature,
+                      max_iters, alpha, beta):
+    """Host reference loop: fresh BERT forward per position, host decode +
+    CLIP re-tokenize, softmax-then-mask-then-topk, argmax commit."""
+    wp, bpe = cap.wp, cap.bpe
+    bert, clip = cap.bert_model, cap.clip_model
+    params = jax.tree.map(np.asarray, cap.params)
+    tables = jax.tree.map(np.asarray, cap.tables)
+    seed_len = cap.seed_len(prompt)
+    ids = cap.init_ids(prompt, max_len, image_embeds.shape[0])
+    B = ids.shape[0]
+    texts_per_iter, cos_per_iter = [], []
+    best_cos = np.zeros((B,))
+    best_caps = ["None"] * B
+    for _ in range(max_iters):
+        for pos in range(max_len):
+            mask = tables["mask_last"] if pos == max_len - 1 else tables["mask_mid"]
+            ids[:, seed_len + pos] = wp.mask_token_id
+            logits = np.asarray(
+                bert.apply({"params": params["bert"]}, jnp.asarray(ids))
+            )[:, seed_len + pos]
+            probs = jax.nn.softmax(jnp.asarray(logits / temperature), axis=-1)
+            probs = np.asarray(probs) * mask
+            idxs = np.argsort(-probs, axis=-1, kind="stable")[:, :top_k]
+            top_probs = np.take_along_axis(probs, idxs, axis=1)
+            idxs = (idxs * mask[idxs]).astype(np.int64)
+            # candidate sentences via the HOST path
+            cand_rows = np.repeat(ids[:, None, :], top_k, axis=1)
+            for b in range(B):
+                cand_rows[b, :, seed_len + pos] = idxs[b]
+            texts = wp.batch_decode(
+                cand_rows.reshape(-1, ids.shape[1]), skip_special_tokens=True
+            )
+            clip_ids, clip_mask = bpe.batch_encode(
+                texts, max_length=cap.cfg.clip_len, pad_to_max=True
+            )
+            text_embeds = clip.apply(
+                {"params": params["clip"]},
+                jnp.asarray(clip_ids),
+                jnp.asarray(clip_mask),
+                method=CLIPModel.encode_text,
+            )
+            clip_probs, cosine = clip.apply(
+                {"params": params["clip"]},
+                jnp.asarray(image_embeds),
+                text_embeds,
+                method=CLIPModel.similarity,
+            )
+            final = alpha * top_probs + beta * np.asarray(clip_probs)
+            sel = np.argmax(final, axis=1)
+            for b in range(B):
+                ids[b, seed_len + pos] = idxs[b, sel[b]]
+            cur_cos = np.asarray(cosine)[np.arange(B), sel]
+        caps = wp.batch_decode(ids, skip_special_tokens=True)
+        for b in range(B):
+            if best_cos[b] < cur_cos[b]:
+                best_cos[b] = cur_cos[b]
+                best_caps[b] = caps[b]
+        texts_per_iter.append(caps)
+        cos_per_iter.append(cur_cos.copy())
+    return texts_per_iter, cos_per_iter, best_caps, best_cos
+
+
+def test_sequential_engine_matches_naive_host_loop(captioner):
+    cap = captioner
+    rng = np.random.RandomState(0)
+    image_embeds = jnp.asarray(
+        rng.randn(2, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    kwargs = dict(prompt="Image of a", max_len=4, top_k=8,
+                  temperature=0.1, max_iters=2, alpha=0.02, beta=2.0)
+    ref_texts, ref_cos, ref_best, ref_best_cos = _naive_sequential(
+        cap, np.asarray(image_embeds), **kwargs
+    )
+    result = cap.run(
+        image_embeds,
+        prompt=kwargs["prompt"],
+        max_len=kwargs["max_len"],
+        top_k=kwargs["top_k"],
+        temperature=kwargs["temperature"],
+        max_iter=kwargs["max_iters"],
+        alpha=kwargs["alpha"],
+        beta=kwargs["beta"],
+        order="sequential",
+    )
+    assert result.gen_texts_list[:-1] == ref_texts
+    np.testing.assert_allclose(
+        np.asarray(result.clip_score_sequence[:-1]), np.asarray(ref_cos),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert result.gen_texts_list[-1] == ref_best
+
+
+@pytest.mark.parametrize("order", ["sequential", "shuffle", "span", "random", "parallel"])
+def test_all_orders_run_and_are_deterministic(captioner, order):
+    cap = captioner
+    rng = np.random.RandomState(1)
+    image_embeds = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    out = []
+    for _ in range(2):
+        r = cap.run(
+            image_embeds, prompt="Image of a", max_len=5, top_k=6,
+            temperature=0.1, max_iter=2, alpha=0.02, beta=2.0,
+            order=order, rng=np.random.RandomState(42),
+        )
+        out.append(r)
+    assert out[0].gen_texts_list == out[1].gen_texts_list
+    assert len(out[0].gen_texts_list) == 3  # 2 iterations + best
+    if order != "random":
+        # every position visited -> no [MASK] survives ("random" draws
+        # positions with replacement and may skip slots, as the reference)
+        final_ids = out[0].iter_ids[-1][0]
+        sent = final_ids[cap.seed_len("Image of a"): -1]
+        assert cap.wp.mask_token_id not in sent.tolist()
+
+
+@pytest.mark.parametrize("ctl,negative", [("sentiment", False), ("sentiment", True), ("pos", False)])
+def test_control_modes_run(captioner, ctl, negative):
+    cap = captioner
+    rng = np.random.RandomState(2)
+    image_embeds = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    r = cap.run(
+        image_embeds, prompt="Image of a", max_len=5, top_k=6,
+        temperature=0.1, max_iter=2, alpha=0.02, beta=2.0, gamma=5.0,
+        order="sequential", ctl=ctl, negative=negative,
+    )
+    assert len(r.gen_texts_list) == 3
+    assert r.iter_ctl.shape == (2, 1)
+
+
+def test_sentiment_control_steers_polarity(captioner):
+    """positive vs negative control should commit different captions and the
+    positive run's sentiment sum should be >= the negative run's."""
+    cap = captioner
+    rng = np.random.RandomState(3)
+    image_embeds = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    runs = {}
+    for style in ("positive", "negative"):
+        r = cap.run(
+            image_embeds, prompt="Image of a", max_len=5, top_k=12,
+            temperature=0.1, max_iter=3, alpha=0.0, beta=0.0, gamma=5.0,
+            order="sequential", ctl="sentiment", negative=style == "negative",
+        )
+        senti = np.asarray(cap.tables["senti"])
+        runs[style] = senti[r.iter_ids[-1][0]].sum()
+    assert runs["positive"] >= runs["negative"]
+
+
+def test_argmax_invariance_under_candidate_permutation():
+    """Property: the committed token doesn't depend on candidate order."""
+    rng = np.random.RandomState(0)
+    scores = rng.randn(1, 16).astype(np.float32)
+    ids = rng.randint(5, 100, size=(1, 16))
+    sel = np.argmax(scores, axis=1)
+    perm = rng.permutation(16)
+    sel_p = np.argmax(scores[:, perm], axis=1)
+    assert ids[0, sel[0]] == ids[:, perm][0, sel_p[0]]
