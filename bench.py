@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Headline benchmark: captions/sec/chip at sentence_len=10, 15 Gibbs
+iterations, k=200 (the BASELINE.json north-star config).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+No pretrained checkpoints are downloadable in this environment, so both
+sides run full-architecture randomly initialized models over a synthetic
+30,522-token WordPiece vocab (weight values do not affect throughput):
+
+  - ours: the jit-compiled conzic_tpu engine (bf16 on TPU).
+  - baseline: a faithful re-creation of the reference's per-position loop
+    (torch CPU, HF-tokenizer host decode -> CLIP re-tokenize per candidate,
+    full (B,S,V) logits per step — the semantics of
+    /root/reference/gen_utils.py:51-96), measured on this machine and cached
+    in .bench_baseline.json. The reference itself supports only
+    cuda|cpu (demo.py:20-21); torch-cpu is its runnable config here.
+
+Env knobs: CONZIC_BENCH_BATCH (default 8), CONZIC_BENCH_K (200),
+CONZIC_BENCH_ITERS (15), CONZIC_BENCH_SKIP_TORCH=1 to reuse/skip baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SENTENCE_LEN = 10
+ITERS = int(os.environ.get("CONZIC_BENCH_ITERS", "15"))
+K = int(os.environ.get("CONZIC_BENCH_K", "200"))
+BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "8"))
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+PROMPT = "Image of a"
+
+
+def build_captioner():
+    import jax
+    import jax.numpy as jnp
+
+    from conzic_tpu.engine.sampler import Captioner
+    from conzic_tpu.models.configs import BertConfig, CLIPConfig
+    from conzic_tpu.text.vocab import make_fullsize_wordpiece_vocab
+
+    # persistent XLA compilation cache: first round pays the ~4 min compile,
+    # later bench runs start in seconds
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    on_tpu = jax.default_backend() == "tpu"
+    return Captioner.from_random(
+        bert_config=BertConfig(),
+        clip_config=CLIPConfig(),
+        wp_vocab=make_fullsize_wordpiece_vocab(),
+        clip_text_vocab_size=49408,
+        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+
+
+def bench_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    cap = build_captioner()
+    cap.cfg.verbose = False
+    rng = np.random.RandomState(0)
+    image_embeds = jnp.asarray(
+        rng.randn(BATCH, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+
+    def run():
+        return cap.run(
+            image_embeds,
+            prompt=PROMPT,
+            max_len=SENTENCE_LEN,
+            top_k=K,
+            temperature=0.1,
+            max_iter=ITERS,
+            alpha=0.02,
+            beta=2.0,
+            order="sequential",
+            rng=np.random.RandomState(42),
+        )
+
+    run()  # warmup + compile
+    t0 = time.time()
+    runs = 0
+    while True:
+        run()
+        runs += 1
+        elapsed = time.time() - t0
+        if elapsed > 30 or runs >= 16:
+            break
+    return BATCH * runs / elapsed
+
+
+def bench_torch_baseline() -> float:
+    """Reference-semantics loop, torch CPU, 1 iteration, extrapolated."""
+    import tempfile
+
+    import torch
+    import transformers
+
+    from conzic_tpu.text.vocab import (
+        make_fullsize_wordpiece_vocab,
+        make_test_bpe_files,
+    )
+
+    d = tempfile.mkdtemp(prefix="bench_vocab_")
+    vocab = make_fullsize_wordpiece_vocab()
+    wp_path = os.path.join(d, "vocab.txt")
+    with open(wp_path, "w", encoding="utf-8") as f:
+        for tok in sorted(vocab, key=vocab.get):
+            f.write(tok + "\n")
+    wp = transformers.BertTokenizer(wp_path)
+    bpe = transformers.CLIPTokenizer(*make_test_bpe_files(d))
+
+    torch.manual_seed(0)
+    bert = transformers.BertForMaskedLM(
+        transformers.BertConfig(vocab_size=len(vocab))
+    ).eval()
+    clip = transformers.CLIPModel(
+        transformers.CLIPConfig(text_config=dict(vocab_size=len(bpe.encoder)))
+    ).eval()
+
+    B = 1
+    seed_len = len(PROMPT.split()) + 1
+    ids = torch.tensor(
+        [wp.encode(PROMPT + wp.mask_token * SENTENCE_LEN)] * B
+    )
+    image_embeds = torch.randn(B, clip.config.projection_dim)
+    mask = torch.ones(len(vocab))
+    positions = list(range(SENTENCE_LEN))
+
+    t0 = time.time()
+    with torch.no_grad():
+        for pos in positions:
+            ids[:, seed_len + pos] = wp.mask_token_id
+            logits = bert(ids).logits[:, seed_len + pos]
+            probs = torch.softmax(logits / 0.1, dim=-1) * mask
+            top_probs, idxs = probs.topk(K, dim=-1)
+            cand = ids.unsqueeze(1).repeat(1, K, 1)
+            cand[:, :, seed_len + pos] = idxs
+            texts = wp.batch_decode(
+                cand.view(-1, ids.shape[1]), skip_special_tokens=True
+            )
+            enc = bpe(texts, padding=True, return_tensors="pt",
+                      max_length=77, truncation=True)
+            te = clip.text_model(**enc)[1]
+            te = clip.text_projection(te)
+            te = te / te.norm(dim=-1, keepdim=True)
+            ie = image_embeds / image_embeds.norm(dim=-1, keepdim=True)
+            cos = (te.view(B, K, -1) @ ie.unsqueeze(-1)).squeeze(-1)
+            clip_probs = (cos * clip.logit_scale.exp()).softmax(dim=1)
+            final = 0.02 * top_probs + 2.0 * clip_probs
+            sel = final.argmax(dim=1)
+            ids[0, seed_len + pos] = idxs[0, sel[0]]
+    per_iter = time.time() - t0
+    return 1.0 / (per_iter * ITERS)  # captions/sec at ITERS iterations
+
+
+def main():
+    ours = bench_ours()
+
+    baseline = None
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as f:
+                baseline = json.load(f)["captions_per_sec"]
+        except Exception:
+            baseline = None
+    if baseline is None and os.environ.get("CONZIC_BENCH_SKIP_TORCH") != "1":
+        try:
+            baseline = bench_torch_baseline()
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({"captions_per_sec": baseline}, f)
+        except Exception as e:  # torch baseline is best-effort
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+    vs = (ours / baseline) if baseline else None
+
+    print(json.dumps({
+        "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}",
+        "value": round(ours, 4),
+        "unit": "captions/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Gradio web UI — reference ``app.py`` equivalent.
+
+Widget-for-widget port of the reference Blocks UI
+(``/root/reference/app.py:198-277``): run-type radio, control-type radio
+with dynamic visibility (``:222-224``), sentence-length/iteration/sample
+sliders, alpha/beta/gamma, and two output boxes (final + best captions)
+joined by ``format_output`` (``utils.py:61-74``).
+
+Divergence (documented in PARITY.md): the reference reloads BOTH models on
+every Submit (``app.py:152-159``); here the models load once and requests
+reuse the compiled engine — the jit cache makes repeat requests with the
+same shape configuration near-instant.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from conzic_tpu.config import ConzicConfig, DEFAULT_POS_TEMPLATE
+from conzic_tpu.engine.sampler import control_generate_caption, generate_caption
+from conzic_tpu.runtime.logging import null_logger
+from conzic_tpu.runtime.seeding import set_seed
+
+
+def format_output(sample_num, final_caption, best_caption):
+    """Join 1..N samples with newlines (utils.py:61-74)."""
+    n = max(1, min(int(sample_num), len(final_caption)))
+    return "\n".join(final_caption[:n]), "\n".join(best_caption[:n])
+
+
+def make_demo_fn(captioner, cfg: ConzicConfig):
+    logger = null_logger()
+
+    def demo(run_type, control_type, sentiment_type, order, prompt,
+             sentence_len, num_iterations, samples_num, alpha, beta, gamma,
+             image):
+        rng = set_seed(cfg.seed)
+        finals, bests = [], []
+        image_embeds = captioner.encode_images([image])
+        for _ in range(int(samples_num)):
+            if run_type == "caption":
+                texts, _ = generate_caption(
+                    ["app"], captioner, image_embeds, logger,
+                    prompt=prompt, batch_size=1, max_len=int(sentence_len),
+                    top_k=cfg.candidate_k, temperature=cfg.lm_temperature,
+                    max_iter=int(num_iterations), alpha=alpha, beta=beta,
+                    generate_order=order, rng=rng,
+                )
+            else:
+                texts, _ = control_generate_caption(
+                    ["app"], captioner, image_embeds, logger,
+                    prompt=prompt, batch_size=1, max_len=int(sentence_len),
+                    top_k=cfg.candidate_k, temperature=cfg.lm_temperature,
+                    max_iter=int(num_iterations), alpha=alpha, beta=beta,
+                    gamma=gamma, ctl_type=control_type,
+                    style_type=sentiment_type,
+                    pos_type=DEFAULT_POS_TEMPLATE,
+                    generate_order=order, rng=rng,
+                )
+            finals.append(texts[-2][0])
+            bests.append(texts[-1][0])
+        return format_output(samples_num, finals, bests)
+
+    return demo
+
+
+def build_ui(captioner, cfg: ConzicConfig):
+    import gradio as gr
+
+    demo_fn = make_demo_fn(captioner, cfg)
+    with gr.Blocks() as ui:
+        gr.Markdown("# ConZIC-TPU: Controllable Zero-shot Image Captioning")
+        with gr.Row():
+            with gr.Column():
+                run_type = gr.Radio(["caption", "controllable"],
+                                    value="caption", label="Run Type")
+                control_type = gr.Radio(["sentiment", "pos"],
+                                        value="sentiment", label="Control Type",
+                                        visible=False)
+                sentiment_type = gr.Radio(["positive", "negative"],
+                                          value="positive",
+                                          label="Sentiment", visible=False)
+                order = gr.Radio(["sequential", "shuffle", "span", "random"],
+                                 value="shuffle", label="Generation Order")
+                prompt = gr.Textbox(value="Image of a", label="Prompt")
+                sentence_len = gr.Slider(5, 15, value=10, step=1,
+                                         label="Sentence Length")
+                num_iterations = gr.Slider(1, 15, value=1, step=1,
+                                           label="Num Iterations")
+                samples_num = gr.Slider(1, 5, value=1, step=1,
+                                        label="Samples")
+                alpha = gr.Number(value=cfg.alpha, label="alpha (fluency)")
+                beta = gr.Number(value=cfg.beta, label="beta (image match)")
+                gamma = gr.Number(value=cfg.gamma, label="gamma (control)")
+                image = gr.Image(type="pil", label="Image")
+                submit = gr.Button("Submit")
+            with gr.Column():
+                final_out = gr.Textbox(label="Final Caption")
+                best_out = gr.Textbox(label="Best Caption")
+
+        def on_run_type(rt):
+            vis = rt == "controllable"
+            return gr.update(visible=vis), gr.update(visible=vis)
+
+        run_type.change(on_run_type, [run_type], [control_type, sentiment_type])
+
+        def on_control_type(ct):
+            return gr.update(visible=ct == "sentiment")
+
+        control_type.change(on_control_type, [control_type], [sentiment_type])
+        submit.click(
+            demo_fn,
+            [run_type, control_type, sentiment_type, order, prompt,
+             sentence_len, num_iterations, samples_num, alpha, beta, gamma,
+             image],
+            [final_out, best_out],
+        )
+    return ui
+
+
+def main(argv=None):
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        raise SystemExit(
+            "gradio is not installed in this environment; the web UI is "
+            "available wherever `pip install gradio` is possible. All "
+            "functionality is also exposed via conzic-demo / conzic-run."
+        )
+    p = argparse.ArgumentParser()
+    p.add_argument("--lm_model", default="bert-base-uncased")
+    p.add_argument("--match_model", default="openai/clip-vit-base-patch32")
+    p.add_argument("--random_models", action="store_true")
+    p.add_argument("--port", type=int, default=7860)
+    args = p.parse_args(argv)
+
+    from conzic_tpu.api.demo import build_captioner
+
+    cfg = ConzicConfig()
+    cfg.lm_model = args.lm_model
+    cfg.match_model = args.match_model
+    captioner = build_captioner(cfg, random_models=args.random_models)
+    ui = build_ui(captioner, cfg)
+    ui.launch(server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()

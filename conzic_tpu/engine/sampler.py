@@ -45,6 +45,39 @@ from conzic_tpu.text.vocab import (
 from conzic_tpu.text.wordpiece import WordPieceTokenizer
 
 
+def random_params_like(init_fn, seed: int, *example_inputs):
+    """Deterministic random parameters WITHOUT tracing a device forward.
+
+    ``linen.Module.init`` executes (and on TPU compiles) the whole forward
+    pass just to shape-infer — minutes for full-size towers. For random-init
+    models (tests/benchmarks; real runs convert HF checkpoints) we only need
+    shapes: ``jax.eval_shape`` traces abstractly in milliseconds, then leaves
+    are filled by name (LayerNorm scales 1, biases 0, logit_scale ln(100),
+    everything else N(0, 0.02)).
+    """
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0), *example_inputs)
+    shapes = shapes["params"] if "params" in shapes else shapes
+
+    def produce(key):
+        def fill(path, leaf):
+            name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+            if name.endswith("scale"):
+                return jnp.ones(leaf.shape, leaf.dtype)
+            if name.endswith("bias"):
+                return jnp.zeros(leaf.shape, leaf.dtype)
+            if name.endswith("logit_scale"):
+                return jnp.full(leaf.shape, 4.6052, leaf.dtype)
+            import zlib  # crc32: stable across processes (hash() is not)
+
+            sub = jax.random.fold_in(key, zlib.crc32(name.encode()) % (2**31))
+            return 0.02 * jax.random.normal(sub, leaf.shape, leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(fill, shapes)
+
+    # generated on device: no host->device transfer of full-size param trees
+    return jax.jit(produce)(jax.random.PRNGKey(seed))
+
+
 @dataclasses.dataclass
 class GenerationResult:
     gen_texts_list: List[List[str]]  # per-iteration captions + best at [-1]
@@ -136,6 +169,9 @@ class Captioner:
         tmpdir: Optional[str] = None,
         mesh=None,
         dtype=None,
+        wp_vocab: Optional[dict] = None,
+        clip_text_vocab_size: Optional[int] = None,
+        init_mode: str = "fast",
     ) -> "Captioner":
         """Deterministic random-init models over synthetic vocabularies —
         the no-download path used by tests, dry-runs and throughput
@@ -145,7 +181,7 @@ class Captioner:
 
         config = config or ConzicConfig()
         tmpdir = tmpdir or tempfile.mkdtemp(prefix="conzic_vocab_")
-        vocab = make_test_wordpiece_vocab()
+        vocab = wp_vocab or make_test_wordpiece_vocab()
         wp_path = os.path.join(tmpdir, "vocab.txt")
         with open(wp_path, "w", encoding="utf-8") as f:
             for tok in sorted(vocab, key=vocab.get):
@@ -158,20 +194,41 @@ class Captioner:
                 bert_config, vocab_size=wp.vocab_size
             )
         clip_config = clip_config or CLIPConfig.tiny()
-        if clip_config.text.vocab_size < bpe.vocab_size:
-            clip_config = dataclasses.replace(
-                clip_config,
-                text=dataclasses.replace(
-                    clip_config.text, vocab_size=bpe.vocab_size
-                ),
-            )
+        text_vocab = max(
+            bpe.vocab_size, clip_text_vocab_size or 0, clip_config.text.vocab_size
+        )
+        # the text tower pools at the first EOS: its id must be the BPE's EOS
+        clip_config = dataclasses.replace(
+            clip_config,
+            text=dataclasses.replace(
+                clip_config.text,
+                vocab_size=text_vocab,
+                eos_token_id=bpe.eos_token_id,
+            ),
+        )
         if dtype is None:
             dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         bert = BertForMaskedLM(bert_config, dtype=dtype, attn_impl=config.attn_impl)
         clip = CLIPModel(clip_config, dtype=dtype, attn_impl=config.attn_impl)
-        key = jax.random.PRNGKey(seed)
-        bert_params = bert.init_params(jax.random.fold_in(key, 0))
-        clip_params = clip.init_params(jax.random.fold_in(key, 1))
+        if init_mode == "proper":
+            # real linen init (traces a forward): use for small test configs
+            # where well-separated output statistics matter
+            key = jax.random.PRNGKey(seed)
+            bert_params = bert.init_params(jax.random.fold_in(key, 0))
+            clip_params = clip.init_params(jax.random.fold_in(key, 1))
+        else:
+            bert_params = random_params_like(
+                lambda k, ids: bert.init(k, ids),
+                seed,
+                jnp.zeros((1, 16), jnp.int32),
+            )
+            v = clip_config.vision
+            clip_params = random_params_like(
+                lambda k, px, ids: clip.init(k, px, ids),
+                seed + 1,
+                jnp.zeros((1, v.image_size, v.image_size, v.num_channels), jnp.float32),
+                jnp.zeros((1, clip_config.text.max_position_embeddings), jnp.int32),
+            )
         return cls(bert, bert_params, clip, clip_params, wp, bpe, config, mesh)
 
     # ------------------------------------------------------------------

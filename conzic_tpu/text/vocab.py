@@ -125,6 +125,41 @@ def make_test_wordpiece_vocab(extra_words: Iterable[str] = ()) -> dict:
     return {t: i for i, t in enumerate(tokens)}
 
 
+def make_fullsize_wordpiece_vocab(vocab_size: int = 30522) -> dict:
+    """Synthetic vocab with the real bert-base-uncased cardinality: specials,
+    punctuation, digits, [unusedN] slots, and generated alphabetic words.
+    Used for benchmarking at true vocab scale without downloaded artifacts
+    (top-k over 30,522 masked probs, full-size MLM projection, full-size
+    bridge table)."""
+    tokens: List[str] = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    tokens += list(".,!?;:'\"-()[]{}$%&*+/<=>@\\^_`|~#")
+    tokens += [str(d) for d in range(10)]
+    tokens += [f"[unused{i}]" for i in range(994)]
+    seen = set(tokens)
+    for w in _TEST_WORDS:
+        if w not in seen:
+            tokens.append(w)
+            seen.add(w)
+    # deterministic pronounceable filler words + ## continuations
+    consonants = "bcdfghjklmnpqrstvwz"
+    vowels = "aeiou"
+    i = 0
+    while len(tokens) < vocab_size:
+        c1 = consonants[i % len(consonants)]
+        v1 = vowels[(i // len(consonants)) % len(vowels)]
+        c2 = consonants[(i // (len(consonants) * len(vowels))) % len(consonants)]
+        v2 = vowels[(i // (len(consonants) * len(vowels) * len(consonants))) % len(vowels)]
+        tail = i // (len(consonants) * len(vowels)) ** 2
+        word = f"{c1}{v1}{c2}{v2}" + ("" if tail == 0 else f"x{tail}")
+        if i % 7 == 3:
+            word = "##" + word
+        if word not in seen:
+            tokens.append(word)
+            seen.add(word)
+        i += 1
+    return {t: j for j, t in enumerate(tokens[:vocab_size])}
+
+
 def make_test_bpe_files(tmpdir: str) -> Tuple[str, str]:
     """Write a miniature CLIP-style vocab.json + merges.txt covering ASCII
     text. Single characters (+ '</w>' variants) ensure no UNKs; a few merges

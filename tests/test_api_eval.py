@@ -1,0 +1,103 @@
+"""API periphery tests: result artifacts, retrieval round-trip, metrics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conzic_tpu.api.app import format_output
+from conzic_tpu.api.retrieval import CLIPIndex, build_index
+from conzic_tpu.api.run import accumulate, save_results
+from conzic_tpu.config import ConzicConfig
+from conzic_tpu.engine import Captioner
+from conzic_tpu.eval.ndiv import calc_diversity, compute, word_tokenize
+from conzic_tpu.eval.pos_eval import batch_texts_pos_analysis, histogram_position
+
+
+@pytest.fixture(scope="module")
+def captioner(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cap_api")
+    cap = Captioner.from_random(tmpdir=str(d), dtype=jnp.float32, init_mode="proper")
+    cap.cfg.verbose = False
+    return cap
+
+
+def test_accumulate_and_save_results_layout(tmp_path):
+    cfg = ConzicConfig()
+    cfg.results_dir = str(tmp_path / "results")
+    cfg.num_iterations = 2
+    all_results = [None] * 3
+    gen_texts = [["cap a", "cap b"], ["cap a2", "cap b2"], ["best a", "best b"]]
+    all_results = accumulate(all_results, ["img1.jpg", "img2.jpg"], gen_texts)
+    assert all_results[0] == {"img1": "cap a", "img2": "cap b"}
+    save_dir = save_results(cfg, "caption", all_results, sample_id=0)
+    # reference layout: iter_N.json per iteration + best_clipscore.json
+    assert os.path.exists(os.path.join(save_dir, "iter_0.json"))
+    assert os.path.exists(os.path.join(save_dir, "iter_1.json"))
+    assert os.path.exists(os.path.join(save_dir, "best_clipscore.json"))
+    with open(os.path.join(save_dir, "best_clipscore.json")) as f:
+        assert json.load(f) == {"img1": "best a", "img2": "best b"}
+
+
+def test_format_output_variants():
+    finals = [f"f{i}" for i in range(5)]
+    bests = [f"b{i}" for i in range(5)]
+    assert format_output(1, finals, bests) == ("f0", "b0")
+    assert format_output(3, finals, bests) == ("f0\nf1\nf2", "b0\nb1\nb2")
+    assert format_output(5, finals, bests)[0].count("\n") == 4
+
+
+def test_retrieval_index_roundtrip(captioner, tmp_path):
+    corpus = ["a girl playing with a dog", "the beach at sunset",
+              "a cat sitting on grass"]
+    corpus_path = tmp_path / "corpus.json"
+    corpus_path.write_text(json.dumps(corpus))
+    out_dir = tmp_path / "index"
+    build_index(captioner, str(corpus_path), str(out_dir), batch_size=2)
+    assert (out_dir / "index_matrix.txt").exists()
+    assert (out_dir / "mapping_dict.json").exists()
+    matrix_lines = (out_dir / "index_matrix.txt").read_text().strip().split("\n")
+    assert len(matrix_lines) == 3  # no trailing-batch drop
+    index = CLIPIndex(
+        str(out_dir / "index_matrix.txt"),
+        str(out_dir / "mapping_dict.json"),
+        captioner,
+    )
+    assert index.matrix.shape == (3, captioner.clip_model.config.projection_dim)
+    # retrieval of a caption's own embedding returns that caption
+    vec = index.matrix[1]
+    assert index.mapping[str(int(np.argmax(vec @ index.matrix.T)))] == corpus[1]
+
+
+def test_ndiv_metrics(tmp_path):
+    corpus = [
+        {"captions": ["a dog runs", "a dog sits"]},
+        {"captions": ["the cat sleeps on the mat"]},
+    ]
+    path = tmp_path / "div.json"
+    path.write_text(json.dumps(corpus))
+    res = compute(str(path))
+    assert 0 < res["div_1"] <= 1
+    assert 0 < res["div_2"] <= 1
+    assert res["vocab_len"] >= 7
+    # identical captions -> lower diversity than distinct ones
+    d_same, _ = calc_diversity(["a dog", "a dog"], [])
+    d_diff, _ = calc_diversity(["a dog", "the cat"], [])
+    assert d_same[0] < d_diff[0]
+
+
+def test_pos_eval_template_accuracy():
+    texts = ["the girl walked slowly", "dog"]
+    template = [["DET"], ["NOUN"], ["VERB"], ["ADV"]]
+    tags, scores = batch_texts_pos_analysis(texts, template)
+    assert scores[0] == 1.0  # DET NOUN VERB ADV
+    assert scores[1] == 0.0  # "dog" = NOUN at the DET slot, rest padded
+    hist = histogram_position(texts, 0)
+    assert hist["DET"] == 1 and hist["NOUN"] == 1
+
+
+def test_word_tokenize_fallback():
+    assert word_tokenize("A dog, running!") == ["a", "dog", ",", "running", "!"]

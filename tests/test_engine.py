@@ -25,7 +25,7 @@ from conzic_tpu.models.bert import BertForMaskedLM
 @pytest.fixture(scope="module")
 def captioner(tmp_path_factory):
     d = tmp_path_factory.mktemp("cap")
-    cap = Captioner.from_random(tmpdir=str(d), dtype=jnp.float32)
+    cap = Captioner.from_random(tmpdir=str(d), dtype=jnp.float32, init_mode="proper")
     cap.cfg.verbose = False
     return cap
 
