@@ -140,6 +140,16 @@ class Captioner:
                 {"params": params}, px, method=CLIPModel.encode_image
             )
         )
+        try:  # native batch decoder for snapshot decoding (Python fallback)
+            from conzic_tpu.text import native as _native
+
+            self._decoder = (
+                _native.NativeWordPieceDecoder(wp)
+                if _native.available()
+                else wp
+            )
+        except Exception:
+            self._decoder = wp
 
     # ------------------------------------------------------------------
     @classmethod
@@ -340,7 +350,7 @@ class Captioner:
         clip_score_sequence: List[List[float]] = []
         for i in range(iter_ids.shape[0]):
             gen_texts_list.append(
-                self.wp.batch_decode(iter_ids[i], skip_special_tokens=True)
+                self._decoder.batch_decode(iter_ids[i], skip_special_tokens=True)
             )
             clip_score_sequence.append([float(c) for c in iter_cos[i]])
         best_caps = []
@@ -377,7 +387,7 @@ class Captioner:
         I = result.iter_ids.shape[0]
         B = result.iter_ids.shape[1]
         for i in range(I):
-            for_print = self.wp.batch_decode(result.iter_ids[i])
+            for_print = self._decoder.batch_decode(result.iter_ids[i])
             for jj in range(B):
                 cos = result.clip_score_sequence[i][jj]
                 if with_ctl:

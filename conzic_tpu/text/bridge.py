@@ -60,14 +60,31 @@ def build_bridge_table(
     sequence actually present in the vocab, so no token is ever truncated."""
     V = wp.vocab_size
     special = set(wp.special_tokens)
-    all_pieces: dict[int, list[int]] = {}
+    entries: list[tuple[int, str]] = []
     for tok, i in wp.vocab.items():
         if tok in special:
             continue
         body = tok[2:] if tok.startswith("##") else tok
-        if not body:
-            continue
-        all_pieces[i] = bpe.encode_word_ids(body)
+        if body:
+            entries.append((i, body))
+    all_pieces: dict[int, list[int]] = {}
+    native_enc = None
+    try:
+        from conzic_tpu.text import native
+
+        if native.available() and all(b.isascii() and b.islower() for _, b in entries):
+            native_enc = native.NativeBpeWordEncoder(bpe)
+    except Exception:
+        native_enc = None
+    if native_enc is not None:
+        ids_arr, lens_arr = native_enc.encode_words(
+            [b for _, b in entries], max_pieces=64
+        )
+        for row, (i, _) in enumerate(entries):
+            all_pieces[i] = ids_arr[row, : lens_arr[row]].tolist()
+    else:
+        for i, body in entries:
+            all_pieces[i] = bpe.encode_word_ids(body)
     width = max((len(p) for p in all_pieces.values()), default=1)
     if max_pieces is not None:
         width = min(width, max_pieces)

@@ -1,0 +1,58 @@
+"""Native (C++) batch text pipeline == Python canonical implementations."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conzic_tpu.text import (
+    CLIPBPETokenizer,
+    WordPieceTokenizer,
+    make_test_bpe_files,
+    make_test_wordpiece_vocab,
+)
+from conzic_tpu.text import native
+
+
+@pytest.fixture(scope="module")
+def toks(tmp_path_factory):
+    d = tmp_path_factory.mktemp("native")
+    vocab = make_test_wordpiece_vocab()
+    wp_path = os.path.join(d, "vocab.txt")
+    with open(wp_path, "w", encoding="utf-8") as f:
+        for tok in sorted(vocab, key=vocab.get):
+            f.write(tok + "\n")
+    wp = WordPieceTokenizer.from_vocab_file(wp_path)
+    bpe = CLIPBPETokenizer.from_files(*make_test_bpe_files(str(d)))
+    return wp, bpe
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="fast_text library not built"
+)
+
+
+def test_native_wordpiece_batch_decode_matches_python(toks):
+    wp, _ = toks
+    dec = native.NativeWordPieceDecoder(wp)
+    rows = [
+        wp.encode("Image of a girl playing with a dog."),
+        wp.encode("the cat[MASK][MASK] sitting."),
+        wp.encode("walking walk ##ing"),
+        [wp.pad_token_id] * 8,
+    ]
+    width = max(len(r) for r in rows)
+    rows = [r + [wp.pad_token_id] * (width - len(r)) for r in rows]
+    ids = np.asarray(rows, np.int32)
+    for skip in (False, True):
+        assert dec.batch_decode(ids, skip) == wp.batch_decode(ids, skip)
+
+
+def test_native_bpe_word_encode_matches_python(toks):
+    _, bpe = toks
+    enc = native.NativeBpeWordEncoder(bpe)
+    words = ["girl", "playing", "the", "dog", "beautiful", "a", "x",
+             "walking", "sunny"]
+    ids, lens = enc.encode_words(words)
+    for i, w in enumerate(words):
+        assert ids[i, : lens[i]].tolist() == bpe.encode_word_ids(w), w
