@@ -37,9 +37,13 @@ def masked_lm_probs(
 def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int):
     """Top-k of masked probs; candidate ids with zero mask collapse to 0
     ([PAD]) exactly like the reference's ``(idxs * mask[idxs]).long()``
-    (gen_utils.py:72)."""
+    (gen_utils.py:72). ``token_mask`` may be (V,) or per-row (B, V)."""
     top_probs, idxs = jax.lax.top_k(probs, k)
-    idxs = (idxs * token_mask[idxs].astype(idxs.dtype)).astype(jnp.int32)
+    if token_mask.ndim == 1:
+        gathered = token_mask[idxs]
+    else:
+        gathered = jnp.take_along_axis(token_mask, idxs, axis=-1)
+    idxs = (idxs * gathered.astype(idxs.dtype)).astype(jnp.int32)
     return top_probs, idxs
 
 

@@ -82,11 +82,13 @@ def _position_update(
 
     base_ids: rows candidates are built from; commit_ids: rows the winner is
     written into (they differ only in parallel order, gen_utils.py:257-271).
-    Returns (new_commit_ids, cosine_sel, ctl_sel).
+    ``pos`` is a per-row (B,) vector — batch rows may polish different
+    positions (sample-fused schedules). Returns
+    (new_commit_ids, cosine_sel, ctl_sel).
     """
     B = base_ids.shape[0]
     k = spec.candidate_k
-    col = spec.seed_len + pos
+    col = spec.seed_len + pos  # (B,)
 
     probs = energies.masked_lm_probs(logits, token_mask, hyper["temperature"])
     top_probs, idxs = energies.topk_candidates(probs, token_mask, k)
@@ -94,9 +96,10 @@ def _position_update(
     # (B, k, S) candidate rows
     cand = jnp.broadcast_to(base_ids[:, None, :], (B, k, base_ids.shape[1]))
     onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (base_ids.shape[1],), 0) == col
-    )
-    cand = jnp.where(onehot[None, None, :], idxs[:, :, None], cand)
+        jax.lax.broadcasted_iota(jnp.int32, (base_ids.shape[1],), 0)[None, :]
+        == col[:, None]
+    )  # (B, S)
+    cand = jnp.where(onehot[:, None, :], idxs[:, :, None], cand)
 
     # CLIP scoring over the caption span (prompt + sentence, no CLS/SEP)
     inner = cand[:, :, 1 : spec.seq_len - 1]
@@ -149,15 +152,18 @@ def _position_update(
     )
     sel = jnp.argmax(final, axis=1)  # (B,)
     chosen = jnp.take_along_axis(idxs, sel[:, None], axis=1)[:, 0]
-    new_ids = commit_ids.at[:, col].set(chosen)
+    new_ids = commit_ids.at[jnp.arange(B), col].set(chosen)
     cos_sel = jnp.take_along_axis(cosine, sel[:, None], axis=1)[:, 0]
     ctl_sel = jnp.take_along_axis(ctl_score, sel[:, None], axis=1)[:, 0]
     return new_ids, cos_sel, ctl_sel
 
 
 def _token_mask_for(spec: EngineSpec, tables, pos):
+    """(B,) positions -> (B, V) masks ('.' only at the last slot)."""
     return jnp.where(
-        pos == spec.sentence_len - 1, tables["mask_last"], tables["mask_mid"]
+        (pos == spec.sentence_len - 1)[:, None],
+        tables["mask_last"][None, :],
+        tables["mask_mid"][None, :],
     )
 
 
@@ -165,12 +171,14 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds):
     """Returns iteration_fn(ids, schedule_row) -> (ids, cos, ctl)."""
 
     def fresh_logits(ids, pos):
-        col = spec.seed_len + pos
-        masked = ids.at[:, col].set(spec.mask_token_id)
+        B = ids.shape[0]
+        col = spec.seed_len + pos  # (B,)
+        rows = jnp.arange(B)
+        masked = ids.at[rows, col].set(spec.mask_token_id)
         hidden = bert.apply(
             {"params": params["bert"]}, masked, method=BertForMaskedLM.hidden
         )
-        hvec = hidden[:, col]  # (B, H), vocab projection only at the slot
+        hvec = hidden[rows, col]  # (B, H), vocab projection only at the slot
         logits = bert.apply(
             {"params": params["bert"]}, hvec, method=BertForMaskedLM.lm_head
         )
@@ -220,7 +228,7 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds):
 
             def inner(carry, j):
                 ids, cos0, ctl0 = carry
-                pos = start + j
+                pos = jnp.full((ids.shape[0],), start + j, jnp.int32)
 
                 def do(ids):
                     mask = _token_mask_for(spec, tables, pos)
@@ -265,8 +273,10 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds):
                 ids, _, _ = carry
                 # reference parallel never updates the token mask; the
                 # initial mask allows '.' everywhere (see PARITY.md)
+                pos = jnp.full((B,), kk, jnp.int32)
                 new_ids, cos, ctl = update(
-                    base, ids, kk, logits_all[:, kk], tables["mask_last"]
+                    base, ids, pos, logits_all[:, kk],
+                    tables["mask_last"][None, :],
                 )
                 return (new_ids, cos, ctl), None
 

@@ -191,6 +191,7 @@ class Captioner:
 
         config = config or ConzicConfig()
         tmpdir = tmpdir or tempfile.mkdtemp(prefix="conzic_vocab_")
+        os.makedirs(tmpdir, exist_ok=True)
         vocab = wp_vocab or make_test_wordpiece_vocab()
         wp_path = os.path.join(tmpdir, "vocab.txt")
         with open(wp_path, "w", encoding="utf-8") as f:
@@ -311,15 +312,31 @@ class Captioner:
         ctl: Optional[str] = None,
         negative: bool = False,
         rng: Optional[np.random.RandomState] = None,
+        n_samples: int = 1,
     ) -> GenerationResult:
-        """Run one full generation; decode snapshots on host afterwards."""
+        """Run one full generation; decode snapshots on host afterwards.
+
+        ``n_samples > 1`` fuses independent samples as extra batch lanes in
+        the SAME compiled program (rows ordered sample-major). Each sample
+        draws its own schedule from ``rng`` sequentially, so fused results
+        are byte-identical to ``n_samples`` separate calls — the reference
+        runs samples as an outer Python loop (demo.py:83-89); on TPU the
+        fused batch keeps the MXU fed. Use :meth:`split_samples` to unpack.
+        """
         rng = rng or np.random.RandomState(self.cfg.seed)
-        sched = build_schedule(order, max_len, max_iter, rng)
+        scheds = [
+            build_schedule(order, max_len, max_iter, rng)
+            for _ in range(n_samples)
+        ]
+        sched = scheds[0]
         spec = self._spec(
             prompt, max_len, top_k,
             sched.kind, ctl, negative,
         )
-        B = int(image_embeds.shape[0])
+        B0 = int(image_embeds.shape[0])
+        B = B0 * n_samples
+        if n_samples > 1:
+            image_embeds = jnp.concatenate([image_embeds] * n_samples, axis=0)
         init = self.init_ids(prompt, max_len, B)
         assert init.shape[1] == spec.seq_len, (
             f"prompt tokenizes to {init.shape[1]} != spec {spec.seq_len}"
@@ -330,7 +347,17 @@ class Captioner:
             "gamma": jnp.float32(gamma),
             "temperature": jnp.float32(temperature),
         }
-        positions = jnp.asarray(sched.positions)
+        if sched.kind == "single":
+            # (I, steps, B): per-row positions, sample-major blocks
+            positions = jnp.asarray(
+                np.concatenate(
+                    [np.repeat(s.positions[:, :, None], B0, axis=2) for s in scheds],
+                    axis=2,
+                )
+            )
+        else:
+            # span/parallel schedules carry no randomness: shared across rows
+            positions = jnp.asarray(sched.positions)
         sizes = jnp.asarray(sched.span_sizes) if sched.span_sizes is not None else None
         init_dev = mesh_lib.shard_batch(self.mesh, jnp.asarray(init))
 
@@ -372,6 +399,30 @@ class Captioner:
             best_cos=best_cos,
             elapsed_s=elapsed,
         )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def split_samples(result: GenerationResult, n_samples: int) -> List[GenerationResult]:
+        """Unpack a fused ``n_samples`` run into per-sample results."""
+        B = result.iter_ids.shape[1]
+        B0 = B // n_samples
+        out = []
+        for s in range(n_samples):
+            sl = slice(s * B0, (s + 1) * B0)
+            out.append(
+                GenerationResult(
+                    gen_texts_list=[row[sl] for row in result.gen_texts_list],
+                    clip_score_sequence=[
+                        row[sl] for row in result.clip_score_sequence
+                    ],
+                    iter_ids=result.iter_ids[:, sl],
+                    iter_ctl=result.iter_ctl[:, sl],
+                    best_ids=result.best_ids[sl],
+                    best_cos=result.best_cos[sl],
+                    elapsed_s=result.elapsed_s,
+                )
+            )
+        return out
 
     # ------------------------------------------------------------------
     def log_iterations(

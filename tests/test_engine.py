@@ -193,3 +193,22 @@ def test_argmax_invariance_under_candidate_permutation():
     perm = rng.permutation(16)
     sel_p = np.argmax(scores[:, perm], axis=1)
     assert ids[0, sel[0]] == ids[:, perm][0, sel_p[0]]
+
+
+def test_fused_samples_match_looped_runs(captioner):
+    """n_samples fused lanes == separate sequential calls with the same rng
+    draw order (schedules are drawn per sample from one RandomState)."""
+    cap = captioner
+    rng_img = np.random.RandomState(7)
+    image_embeds = jnp.asarray(
+        rng_img.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    kwargs = dict(prompt="Image of a", max_len=5, top_k=6, temperature=0.1,
+                  max_iter=2, alpha=0.02, beta=2.0, order="shuffle")
+    fused = cap.run(image_embeds, rng=np.random.RandomState(13),
+                    n_samples=3, **kwargs)
+    samples = cap.split_samples(fused, 3)
+    loop_rng = np.random.RandomState(13)
+    for s in range(3):
+        single = cap.run(image_embeds, rng=loop_rng, n_samples=1, **kwargs)
+        assert samples[s].gen_texts_list == single.gen_texts_list, s
