@@ -101,3 +101,17 @@ def test_pos_eval_template_accuracy():
 
 def test_word_tokenize_fallback():
     assert word_tokenize("A dog, running!") == ["a", "dog", ",", "running", "!"]
+
+
+def test_stage_timers_report():
+    from conzic_tpu.runtime.profiling import StageTimers
+
+    t = StageTimers()
+    with t.stage("build"):
+        pass
+    with t.stage("run"):
+        pass
+    with t.stage("run"):
+        pass
+    rep = t.report()
+    assert "build" in rep and "run" in rep and "2 call(s)" in rep

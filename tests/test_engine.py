@@ -212,3 +212,68 @@ def test_fused_samples_match_looped_runs(captioner):
     for s in range(3):
         single = cap.run(image_embeds, rng=loop_rng, n_samples=1, **kwargs)
         assert samples[s].gen_texts_list == single.gen_texts_list, s
+
+
+def _naive_span(cap, image_embeds, prompt, max_len, top_k, temperature,
+                max_iters, alpha, beta, span_len=2):
+    """Host reference span loop: mask whole span, ONE stale forward,
+    per-position candidate scoring (gen_utils.py:148-195 semantics)."""
+    wp, bpe = cap.wp, cap.bpe
+    bert, clip = cap.bert_model, cap.clip_model
+    params = jax.tree.map(np.asarray, cap.params)
+    tables = jax.tree.map(np.asarray, cap.tables)
+    seed_len = cap.seed_len(prompt)
+    ids = cap.init_ids(prompt, max_len, image_embeds.shape[0])
+    B = ids.shape[0]
+    texts_per_iter = []
+    for _ in range(max_iters):
+        for span_start in range(0, max_len, span_len):
+            span_end = min(span_start + span_len, max_len)
+            ids[:, seed_len + span_start: seed_len + span_end] = wp.mask_token_id
+            logits_all = np.asarray(
+                bert.apply({"params": params["bert"]}, jnp.asarray(ids))
+            )
+            for pos in range(span_start, span_end):
+                mask = tables["mask_last"] if pos == max_len - 1 else tables["mask_mid"]
+                logits = logits_all[:, seed_len + pos]
+                probs = np.asarray(jax.nn.softmax(jnp.asarray(logits / temperature), axis=-1)) * mask
+                idxs = np.argsort(-probs, axis=-1, kind="stable")[:, :top_k]
+                top_probs = np.take_along_axis(probs, idxs, axis=1)
+                idxs = (idxs * mask[idxs]).astype(np.int64)
+                cand_rows = np.repeat(ids[:, None, :], top_k, axis=1)
+                for b in range(B):
+                    cand_rows[b, :, seed_len + pos] = idxs[b]
+                texts = wp.batch_decode(cand_rows.reshape(-1, ids.shape[1]),
+                                        skip_special_tokens=True)
+                clip_ids, clip_mask = bpe.batch_encode(
+                    texts, max_length=cap.cfg.clip_len, pad_to_max=True)
+                te = clip.apply({"params": params["clip"]}, jnp.asarray(clip_ids),
+                                jnp.asarray(clip_mask), method=CLIPModel.encode_text)
+                cp, cos = clip.apply({"params": params["clip"]},
+                                     jnp.asarray(image_embeds), te,
+                                     method=CLIPModel.similarity)
+                final = alpha * top_probs + beta * np.asarray(cp)
+                sel = np.argmax(final, axis=1)
+                for b in range(B):
+                    ids[b, seed_len + pos] = idxs[b, sel[b]]
+        texts_per_iter.append(wp.batch_decode(ids, skip_special_tokens=True))
+    return texts_per_iter
+
+
+def test_span_engine_matches_naive_host_loop(captioner):
+    """Covers the stale-logits quirk and the odd-length tail span."""
+    cap = captioner
+    rng = np.random.RandomState(5)
+    image_embeds = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    kwargs = dict(prompt="Image of a", max_len=5, top_k=6,  # odd: tail span of 1
+                  temperature=0.1, max_iters=2, alpha=0.02, beta=2.0)
+    ref_texts = _naive_span(cap, np.asarray(image_embeds), **kwargs)
+    result = cap.run(
+        image_embeds, prompt=kwargs["prompt"], max_len=kwargs["max_len"],
+        top_k=kwargs["top_k"], temperature=kwargs["temperature"],
+        max_iter=kwargs["max_iters"], alpha=kwargs["alpha"],
+        beta=kwargs["beta"], order="span",
+    )
+    assert result.gen_texts_list[:-1] == ref_texts
