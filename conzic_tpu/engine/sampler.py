@@ -160,11 +160,18 @@ class Captioner:
         ``config.lm_model`` / ``config.match_model``."""
         from conzic_tpu.models.convert import load_bert, load_clip
 
+        from conzic_tpu.models.convert import params_with_scanned_encoders
+
         dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         bert_cfg, bert_params = load_bert(config.lm_model)
         clip_cfg, clip_params = load_clip(config.match_model)
-        bert = BertForMaskedLM(bert_cfg, dtype=dtype, attn_impl=config.attn_impl)
-        clip = CLIPModel(clip_cfg, dtype=dtype, attn_impl=config.attn_impl)
+        if config.scan_layers:
+            bert_params = params_with_scanned_encoders(bert_params)
+            clip_params = params_with_scanned_encoders(clip_params)
+        bert = BertForMaskedLM(bert_cfg, dtype=dtype, attn_impl=config.attn_impl,
+                               scan_layers=config.scan_layers)
+        clip = CLIPModel(clip_cfg, dtype=dtype, attn_impl=config.attn_impl,
+                         scan_layers=config.scan_layers)
         wp = WordPieceTokenizer.from_pretrained(config.lm_model)
         bpe = CLIPBPETokenizer.from_pretrained(config.match_model)
         return cls(bert, bert_params, clip, clip_params, wp, bpe, config, mesh)
@@ -182,6 +189,7 @@ class Captioner:
         wp_vocab: Optional[dict] = None,
         clip_text_vocab_size: Optional[int] = None,
         init_mode: str = "fast",
+        scan_layers: bool = False,
     ) -> "Captioner":
         """Deterministic random-init models over synthetic vocabularies —
         the no-download path used by tests, dry-runs and throughput
@@ -219,8 +227,11 @@ class Captioner:
         )
         if dtype is None:
             dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-        bert = BertForMaskedLM(bert_config, dtype=dtype, attn_impl=config.attn_impl)
-        clip = CLIPModel(clip_config, dtype=dtype, attn_impl=config.attn_impl)
+        bert = BertForMaskedLM(bert_config, dtype=dtype,
+                               attn_impl=config.attn_impl,
+                               scan_layers=scan_layers)
+        clip = CLIPModel(clip_config, dtype=dtype, attn_impl=config.attn_impl,
+                         scan_layers=scan_layers)
         if init_mode == "proper":
             # real linen init (traces a forward): use for small test configs
             # where well-separated output statistics matter

@@ -102,6 +102,7 @@ class BertForMaskedLM(nn.Module):
     config: BertConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    scan_layers: bool = False
 
     def setup(self):
         cfg = self.config
@@ -116,6 +117,7 @@ class BertForMaskedLM(nn.Module):
             pre_ln=False,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            scan_layers=self.scan_layers,
         )
         self.mlm = BertMlmHead(cfg, dtype=self.dtype)
 

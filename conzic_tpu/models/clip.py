@@ -34,6 +34,7 @@ class CLIPTextTower(nn.Module):
     config: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -64,6 +65,7 @@ class CLIPTextTower(nn.Module):
             pre_ln=True,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            scan_layers=self.scan_layers,
             name="encoder",
         )(x, bias)
         x = LayerNorm(eps=cfg.layer_norm_eps, dtype=self.dtype, name="final_ln")(x)
@@ -82,6 +84,7 @@ class CLIPVisionTower(nn.Module):
     config: CLIPVisionConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, pixel_values: jax.Array) -> jax.Array:
@@ -125,6 +128,7 @@ class CLIPVisionTower(nn.Module):
             pre_ln=True,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            scan_layers=self.scan_layers,
             name="encoder",
         )(x)
         pooled = x[:, 0, :]
@@ -143,14 +147,17 @@ class CLIPModel(nn.Module):
     config: CLIPConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    scan_layers: bool = False
 
     def setup(self):
         cfg = self.config
         self.text_model = CLIPTextTower(
-            cfg.text, dtype=self.dtype, attn_impl=self.attn_impl
+            cfg.text, dtype=self.dtype, attn_impl=self.attn_impl,
+            scan_layers=self.scan_layers,
         )
         self.vision_model = CLIPVisionTower(
-            cfg.vision, dtype=self.dtype, attn_impl=self.attn_impl
+            cfg.vision, dtype=self.dtype, attn_impl=self.attn_impl,
+            scan_layers=self.scan_layers,
         )
         self.text_projection = nn.Dense(
             cfg.projection_dim, use_bias=False, dtype=self.dtype

@@ -168,6 +168,33 @@ def clip_params_from_state_dict(sd: StateDict, config: CLIPConfig) -> dict:
     return params
 
 
+def stack_layers(encoder_params: dict) -> dict:
+    """Re-pack an unrolled ``{"layer_i": tree}`` encoder into the stacked
+    ``{"layers": tree-with-leading-L-axis}`` layout used by
+    ``TransformerStack(scan_layers=True)``."""
+    n = len(encoder_params)
+    layers = [encoder_params[f"layer_{i}"] for i in range(n)]
+    import jax
+
+    return {
+        "layers": jax.tree.map(lambda *xs: np.stack(xs, axis=0), *layers)
+    }
+
+
+def params_with_scanned_encoders(params: dict) -> dict:
+    """Convert any ``encoder`` subtree from per-layer to stacked layout
+    (works for the BERT tree and both CLIP towers)."""
+    out = dict(params)
+    if "encoder" in out:
+        out["encoder"] = stack_layers(out["encoder"])
+    for tower in ("text_model", "vision_model"):
+        if tower in out and "encoder" in out[tower]:
+            sub = dict(out[tower])
+            sub["encoder"] = stack_layers(sub["encoder"])
+            out[tower] = sub
+    return out
+
+
 def torch_state_dict_to_numpy(module) -> StateDict:
     """In-memory torch module -> numpy state dict (for parity tests)."""
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}

@@ -108,11 +108,12 @@ class TransformerBlock(nn.Module):
     pre_ln: bool
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    as_scan_body: bool = False  # return (x, None) for nn.scan
 
     @nn.compact
     def __call__(
         self, x: jax.Array, bias: Optional[jax.Array] = None
-    ) -> jax.Array:
+    ):
         hidden = self.num_heads * self.head_dim
         attn = MultiHeadAttention(
             num_heads=self.num_heads,
@@ -137,13 +138,21 @@ class TransformerBlock(nn.Module):
         else:
             x = ln1(x + attn(x, bias))
             x = ln2(x + mlp(x))
+        if self.as_scan_body:
+            return x, None
         return x
 
 
 class TransformerStack(nn.Module):
-    """N identical blocks. Layers are materialized individually (not via
-    ``nn.scan``): with only 12 layers compile time is negligible and
-    per-layer naming keeps HF checkpoint conversion trivial."""
+    """N identical blocks.
+
+    ``scan_layers=False``: layers materialized individually with per-layer
+    naming (``layer_i``) — trivial HF checkpoint conversion.
+    ``scan_layers=True``: one ``nn.scan`` over a stacked ``layers`` scope —
+    the XLA program contains ONE layer body instead of N, cutting cold
+    compile time for full-size towers severalfold. Parameters are stacked
+    along axis 0 (``convert.stack_layers`` re-packs per-layer trees).
+    """
 
     num_layers: int
     num_heads: int
@@ -154,21 +163,32 @@ class TransformerStack(nn.Module):
     pre_ln: bool
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, bias: Optional[jax.Array] = None
     ) -> jax.Array:
+        kw = dict(
+            num_heads=self.num_heads,
+            head_dim=self.head_dim,
+            intermediate_size=self.intermediate_size,
+            act=self.act,
+            eps=self.eps,
+            pre_ln=self.pre_ln,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+        if self.scan_layers:
+            scanned = nn.scan(
+                TransformerBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=self.num_layers,
+            )
+            x, _ = scanned(as_scan_body=True, name="layers", **kw)(x, bias)
+            return x
         for i in range(self.num_layers):
-            x = TransformerBlock(
-                num_heads=self.num_heads,
-                head_dim=self.head_dim,
-                intermediate_size=self.intermediate_size,
-                act=self.act,
-                eps=self.eps,
-                pre_ln=self.pre_ln,
-                dtype=self.dtype,
-                attn_impl=self.attn_impl,
-                name=f"layer_{i}",
-            )(x, bias)
+            x = TransformerBlock(name=f"layer_{i}", **kw)(x, bias)
         return x

@@ -201,3 +201,22 @@ def test_clip_similarity_reference_semantics():
     probs_ref = probs_ref / probs_ref.sum(-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(cos), cos_ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(probs), probs_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_scan_layers_equals_unrolled():
+    """TransformerStack(scan_layers=True) with stacked params == the
+    unrolled stack — validates both the scan path and the param re-pack."""
+    import jax
+    from conzic_tpu.models.convert import params_with_scanned_encoders
+
+    hf = _hf_bert(TINY_BERT)
+    params = bert_params_from_state_dict(torch_state_dict_to_numpy(hf), TINY_BERT)
+    ids = np.random.randint(0, TINY_BERT.vocab_size, size=(2, 9)).astype(np.int32)
+
+    unrolled = BertForMaskedLM(TINY_BERT)
+    ref = np.asarray(unrolled.apply({"params": params}, jnp.asarray(ids)))
+
+    scanned = BertForMaskedLM(TINY_BERT, scan_layers=True)
+    sp = params_with_scanned_encoders(params)
+    got = np.asarray(scanned.apply({"params": sp}, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
