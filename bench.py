@@ -56,7 +56,6 @@ def build_captioner():
         wp_vocab=make_fullsize_wordpiece_vocab(),
         clip_text_vocab_size=49408,
         dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-        scan_layers=True,
     )
 
 

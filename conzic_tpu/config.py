@@ -52,7 +52,7 @@ class ConzicConfig:
     attn_impl: str = "xla"  # xla | pallas
     mesh_data_axis: int = 1  # chips to shard the (images x samples) batch over
     matmul_precision: str = "default"  # default | high | highest
-    scan_layers: bool = True  # nn.scan over layers: ~5x faster cold compile
+    scan_layers: bool = False  # nn.scan layers: smaller program, but 3x slower cold compile on this toolchain (see ROADMAP)
     verbose: bool = True
     logger_dir: str = "logger"
     results_dir: str = "results"
