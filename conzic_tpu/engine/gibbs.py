@@ -56,6 +56,10 @@ class EngineSpec:
     ctl: Optional[str] = None  # None | "sentiment" | "pos"
     negative: bool = False  # sentiment polarity
     order_kind: str = "single"  # single | span | parallel
+    # opt-in two-stage scoring (NON-parity): pre-select prune_k of the k
+    # candidates by a bag-of-CLIP-word-embeddings proxy before the full
+    # text-tower pass — cuts hot-loop FLOPs ~k/prune_k at some quality cost
+    prune_k: Optional[int] = None
 
 
 class IterOut(NamedTuple):
@@ -92,6 +96,25 @@ def _position_update(
 
     probs = energies.masked_lm_probs(logits, token_mask, hyper["temperature"])
     top_probs, idxs = energies.topk_candidates(probs, token_mask, k)
+
+    if spec.prune_k is not None and spec.prune_k < k:
+        # stage-1 proxy: cos(image, normalize(bag(base words) + w[cand]))
+        word_embeds = tables["word_embeds"]  # (V, D) fp32, specials ~0
+        base_bag = jnp.sum(
+            word_embeds[base_ids[:, 1 : spec.seq_len - 1]], axis=1
+        )  # (B, D); the masked slot contributes ~0
+        cand_vec = base_bag[:, None, :] + word_embeds[idxs]  # (B, k, D)
+        cand_vec = cand_vec / (
+            jnp.linalg.norm(cand_vec, axis=-1, keepdims=True) + 1e-6
+        )
+        img = image_embeds / jnp.linalg.norm(
+            image_embeds, axis=-1, keepdims=True
+        )
+        proxy = jnp.einsum("bkd,bd->bk", cand_vec, img.astype(cand_vec.dtype))
+        _, keep = jax.lax.top_k(proxy, spec.prune_k)  # (B, k')
+        idxs = jnp.take_along_axis(idxs, keep, axis=1)
+        top_probs = jnp.take_along_axis(top_probs, keep, axis=1)
+        k = spec.prune_k
 
     # (B, k, S) candidate rows
     cand = jnp.broadcast_to(base_ids[:, None, :], (B, k, base_ids.shape[1]))

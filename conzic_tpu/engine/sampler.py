@@ -279,7 +279,55 @@ class Captioner:
         return 1 + len(self.wp.encode(prompt, add_special_tokens=False))
 
     # ------------------------------------------------------------------
-    def _spec(self, prompt, max_len, top_k, order_kind, ctl, negative) -> EngineSpec:
+    def _ensure_word_embeds(self) -> None:
+        """Lazily build the (V, D) per-vocab-word CLIP embedding table used
+        by the pruning proxy: each BERT token embedded as a standalone word
+        through the full text tower (one-time, batched)."""
+        if "word_embeds" in self.tables:
+            return
+        br = self.bridge
+        V, M = br.ids.shape
+        seq_len = min(M + 2, 77)
+        ids = np.full((V, seq_len), br.pad_id, np.int32)
+        mask = np.zeros((V, seq_len), np.int32)
+        ids[:, 0] = br.bos_id
+        lens = np.minimum(br.lens, seq_len - 2)
+        for m in range(min(M, seq_len - 2)):
+            sel = lens > m
+            ids[sel, 1 + m] = br.ids[sel, m]
+        ids[np.arange(V), 1 + lens] = br.eos_id
+        for v in range(seq_len):
+            mask[:, v] = (v <= 1 + lens).astype(np.int32)
+
+        from conzic_tpu.models.clip import CLIPModel
+
+        chunk = 4096
+        pad_V = (-V) % chunk
+        if pad_V:
+            ids = np.concatenate([ids, np.tile(ids[-1:], (pad_V, 1))])
+            mask = np.concatenate([mask, np.tile(mask[-1:], (pad_V, 1))])
+        encode = jax.jit(
+            lambda i, m: self.clip_model.apply(
+                {"params": self.params["clip"]}, i, m,
+                method=CLIPModel.encode_text,
+            )
+        )
+        outs = []
+        for s in range(0, ids.shape[0], chunk):
+            outs.append(
+                np.asarray(
+                    encode(jnp.asarray(ids[s : s + chunk]),
+                           jnp.asarray(mask[s : s + chunk]))
+                )
+            )
+        emb = np.concatenate(outs, axis=0)[:V].astype(np.float32)
+        emb[np.asarray(br.lens) == 0] = 0.0  # specials contribute nothing
+        self.tables["word_embeds"] = mesh_lib.replicate(
+            self.mesh, jnp.asarray(emb)
+        )
+
+    def _spec(self, prompt, max_len, top_k, order_kind, ctl, negative,
+              prune_k=None) -> EngineSpec:
         seed_len = self.seed_len(prompt)
         return EngineSpec(
             seed_len=seed_len,
@@ -294,6 +342,7 @@ class Captioner:
             ctl=ctl,
             negative=negative,
             order_kind=order_kind,
+            prune_k=prune_k,
         )
 
     def _compiled(self, spec: EngineSpec):
@@ -324,6 +373,7 @@ class Captioner:
         negative: bool = False,
         rng: Optional[np.random.RandomState] = None,
         n_samples: int = 1,
+        prune_k: Optional[int] = None,
     ) -> GenerationResult:
         """Run one full generation; decode snapshots on host afterwards.
 
@@ -340,9 +390,13 @@ class Captioner:
             for _ in range(n_samples)
         ]
         sched = scheds[0]
+        if prune_k is not None and prune_k >= top_k:
+            prune_k = None
+        if prune_k is not None:
+            self._ensure_word_embeds()
         spec = self._spec(
             prompt, max_len, top_k,
-            sched.kind, ctl, negative,
+            sched.kind, ctl, negative, prune_k=prune_k,
         )
         B0 = int(image_embeds.shape[0])
         B = B0 * n_samples

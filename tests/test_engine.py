@@ -277,3 +277,30 @@ def test_span_engine_matches_naive_host_loop(captioner):
         beta=kwargs["beta"], order="span",
     )
     assert result.gen_texts_list[:-1] == ref_texts
+
+
+def test_candidate_pruning_runs_and_commits_valid_tokens(captioner):
+    """Opt-in two-stage scoring: prune_k < k runs, commits in-vocab tokens,
+    and tracks cosine; prune proxy table builds lazily."""
+    cap = captioner
+    rng = np.random.RandomState(11)
+    image_embeds = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    r = cap.run(
+        image_embeds, prompt="Image of a", max_len=5, top_k=12,
+        temperature=0.1, max_iter=2, alpha=0.02, beta=2.0,
+        order="sequential", prune_k=4,
+    )
+    assert "word_embeds" in cap.tables
+    assert len(r.gen_texts_list) == 3
+    sent = r.iter_ids[-1][0][cap.seed_len("Image of a"):-1]
+    assert all(0 <= t < cap.wp.vocab_size for t in sent.tolist())
+    # proxy should still strongly prefer image-matching words vs full set:
+    # committed cosine within the range achievable by full scoring
+    full = cap.run(
+        image_embeds, prompt="Image of a", max_len=5, top_k=12,
+        temperature=0.1, max_iter=2, alpha=0.02, beta=2.0,
+        order="sequential",
+    )
+    assert r.best_cos[0] <= full.best_cos[0] + 0.2
