@@ -40,17 +40,20 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
 
 
 class LayerNorm(nn.Module):
-    """fp32 LayerNorm that returns the input compute dtype."""
+    """LayerNorm with fp32 statistics and compute-dtype in/out.
+
+    flax's ``nn.LayerNorm`` upcasts internally for mean/variance when the
+    input is bf16, so passing the compute dtype directly keeps fp32-accurate
+    statistics WITHOUT materializing full fp32 activation copies — an
+    explicit astype-fp32 wrapper showed up as ~16% of device time
+    (convert_reduce fusions) on the B=16 trace."""
 
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="ln")(
-            x.astype(jnp.float32)
-        )
-        return y.astype(self.dtype)
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="ln")(x)
 
 
 class MultiHeadAttention(nn.Module):
