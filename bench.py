@@ -30,7 +30,8 @@ import numpy as np
 SENTENCE_LEN = 10
 ITERS = int(os.environ.get("CONZIC_BENCH_ITERS", "15"))
 K = int(os.environ.get("CONZIC_BENCH_K", "200"))
-BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "4"))
+PRUNE = int(os.environ.get("CONZIC_BENCH_PRUNE", "0")) or None
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 PROMPT = "Image of a"
 
@@ -65,6 +66,7 @@ def bench_ours() -> float:
 
     cap = build_captioner()
     cap.cfg.verbose = False
+    cap.cfg.clip_len = 24  # tight context for len=10 (see ROADMAP/PARITY)
     rng = np.random.RandomState(0)
     image_embeds = jnp.asarray(
         rng.randn(BATCH, cap.clip_model.config.projection_dim).astype(np.float32)
@@ -82,6 +84,7 @@ def bench_ours() -> float:
             beta=2.0,
             order="sequential",
             rng=np.random.RandomState(42),
+            prune_k=PRUNE,
         )
 
     run()  # warmup + compile
@@ -185,7 +188,8 @@ def main():
     vs = (ours / baseline) if baseline else None
 
     print(json.dumps({
-        "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}",
+        "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}"
+                  + (f" prune_k={PRUNE}" if PRUNE else ""),
         "value": round(ours, 4),
         "unit": "captions/sec",
         "vs_baseline": round(vs, 2) if vs else None,
