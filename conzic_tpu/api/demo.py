@@ -105,6 +105,10 @@ def main(argv=None):
     logger.info(f"Run type:{cfg.run_type}")
     logger.info(args)
 
+    # validate before the (expensive) model build
+    if not os.path.exists(cfg.caption_img_path):
+        sys.exit(f"image not found: {cfg.caption_img_path!r}")
+
     captioner = build_captioner(cfg, random_models=args.random_models)
     if cfg.run_type == "caption":
         run_caption(cfg, cfg.caption_img_path, captioner, logger, rng)

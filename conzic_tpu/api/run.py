@@ -94,6 +94,11 @@ def main(argv=None):
     logger.info(f"Run type:{run_type}")
     logger.info(args)
 
+    if not os.path.isdir(cfg.caption_img_path):
+        import sys
+
+        sys.exit(f"image directory not found: {cfg.caption_img_path!r}")
+
     captioner = build_captioner(cfg, random_models=args.random_models)
 
     for sample_id in range(cfg.samples_num):
