@@ -304,3 +304,150 @@ def test_candidate_pruning_runs_and_commits_valid_tokens(captioner):
         order="sequential",
     )
     assert r.best_cos[0] <= full.best_cos[0] + 0.2
+
+
+def _naive_sentiment_sequential(cap, image_embeds, prompt, max_len, top_k,
+                                temperature, max_iters, alpha, beta, gamma,
+                                negative):
+    """Host loop with the same table energies: lm + clip + gamma*softmax(
+    senti sentence sums) + 0.1*(1-exp(repeats)) (control_gen_utils.py:30-80
+    semantics with device tables)."""
+    wp, bpe = cap.wp, cap.bpe
+    bert, clip = cap.bert_model, cap.clip_model
+    params = jax.tree.map(np.asarray, cap.params)
+    tables = jax.tree.map(np.asarray, cap.tables)
+    senti = tables["senti"]
+    seed_len = cap.seed_len(prompt)
+    ids = cap.init_ids(prompt, max_len, image_embeds.shape[0])
+    B = ids.shape[0]
+    texts_per_iter = []
+    for _ in range(max_iters):
+        for pos in range(max_len):
+            mask = tables["mask_last"] if pos == max_len - 1 else tables["mask_mid"]
+            ids[:, seed_len + pos] = wp.mask_token_id
+            logits = np.asarray(
+                bert.apply({"params": params["bert"]}, jnp.asarray(ids))
+            )[:, seed_len + pos]
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits / temperature), -1)) * mask
+            idxs = np.argsort(-probs, axis=-1, kind="stable")[:, :top_k]
+            top_probs = np.take_along_axis(probs, idxs, axis=1)
+            idxs = (idxs * mask[idxs]).astype(np.int64)
+            cand_rows = np.repeat(ids[:, None, :], top_k, axis=1)
+            for b in range(B):
+                cand_rows[b, :, seed_len + pos] = idxs[b]
+            # repeat penalty over the full rows
+            repeats = (cand_rows == idxs[:, :, None]).sum(2) - 1
+            penalty = 0.1 * (1 - np.exp(repeats))
+            # sentence sentiment sums
+            s = senti[cand_rows].sum(axis=2)
+            if negative:
+                s = -s
+            e = np.exp(s - s.max(axis=1, keepdims=True))
+            senti_probs = e / e.sum(axis=1, keepdims=True)
+            texts = wp.batch_decode(cand_rows.reshape(-1, ids.shape[1]),
+                                    skip_special_tokens=True)
+            clip_ids, clip_mask = bpe.batch_encode(
+                texts, max_length=cap.cfg.clip_len, pad_to_max=True)
+            te = clip.apply({"params": params["clip"]}, jnp.asarray(clip_ids),
+                            jnp.asarray(clip_mask), method=CLIPModel.encode_text)
+            cp, cos = clip.apply({"params": params["clip"]},
+                                 jnp.asarray(image_embeds), te,
+                                 method=CLIPModel.similarity)
+            final = (alpha * top_probs + beta * np.asarray(cp)
+                     + gamma * senti_probs + penalty)
+            sel = np.argmax(final, axis=1)
+            for b in range(B):
+                ids[b, seed_len + pos] = idxs[b, sel[b]]
+        texts_per_iter.append(wp.batch_decode(ids, skip_special_tokens=True))
+    return texts_per_iter
+
+
+@pytest.mark.parametrize("negative", [False, True])
+def test_sentiment_engine_matches_naive_host_loop(captioner, negative):
+    cap = captioner
+    rng = np.random.RandomState(21)
+    image_embeds = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    kwargs = dict(prompt="Image of a", max_len=4, top_k=8, temperature=0.1,
+                  max_iters=2, alpha=0.02, beta=2.0, gamma=5.0)
+    ref_texts = _naive_sentiment_sequential(
+        cap, np.asarray(image_embeds), negative=negative, **kwargs)
+    result = cap.run(
+        image_embeds, prompt=kwargs["prompt"], max_len=kwargs["max_len"],
+        top_k=kwargs["top_k"], temperature=kwargs["temperature"],
+        max_iter=kwargs["max_iters"], alpha=kwargs["alpha"],
+        beta=kwargs["beta"], gamma=kwargs["gamma"],
+        order="sequential", ctl="sentiment", negative=negative,
+    )
+    assert result.gen_texts_list[:-1] == ref_texts
+
+
+def test_pos_engine_matches_naive_host_loop(captioner):
+    """POS control: alpha*lm + beta*clip + gamma*softmax(acc/0.1) with
+    template accuracy from the tag table (control_gen_utils.py:136-195
+    semantics with device tables)."""
+    cap = captioner
+    wp, bpe = cap.wp, cap.bpe
+    bert, clip = cap.bert_model, cap.clip_model
+    params = jax.tree.map(np.asarray, cap.params)
+    tables = jax.tree.map(np.asarray, cap.tables)
+    pos_table, template = tables["pos"], tables["template"]
+    n_tags = template.shape[1] - 1
+    bridge_lens = tables["bridge_lens"]
+
+    prompt, max_len, top_k, temperature = "Image of a", 4, 8, 0.1
+    alpha, beta, gamma, max_iters = 0.02, 2.0, 5.0, 2
+    rng = np.random.RandomState(23)
+    image_embeds = rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    seed_len = cap.seed_len(prompt)
+    ids = cap.init_ids(prompt, max_len, 1)
+    B = 1
+    ref_texts = []
+    for _ in range(max_iters):
+        for pos in range(max_len):
+            mask = tables["mask_last"] if pos == max_len - 1 else tables["mask_mid"]
+            ids[:, seed_len + pos] = wp.mask_token_id
+            logits = np.asarray(
+                bert.apply({"params": params["bert"]}, jnp.asarray(ids))
+            )[:, seed_len + pos]
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits / temperature), -1)) * mask
+            idxs = np.argsort(-probs, axis=-1, kind="stable")[:, :top_k]
+            top_probs = np.take_along_axis(probs, idxs, axis=1)
+            idxs = (idxs * mask[idxs]).astype(np.int64)
+            cand_rows = np.repeat(ids[:, None, :], top_k, axis=1)
+            cand_rows[0, :, seed_len + pos] = idxs[0]
+            inner = cand_rows[:, :, 1:-1]
+            valid = bridge_lens[inner] > 0
+            tags = np.where(valid, pos_table[inner], n_tags)
+            T = template.shape[0]
+            W = tags.shape[-1]
+            if W < T:
+                tags = np.concatenate(
+                    [tags, np.full(tags.shape[:-1] + (T - W,), n_tags)], -1)
+            else:
+                tags = tags[..., :T]
+            acc = template[np.arange(T), tags].mean(-1)
+            e = np.exp((acc - acc.max(-1, keepdims=True)) / 0.1)
+            pos_probs = e / e.sum(-1, keepdims=True)
+            texts = wp.batch_decode(cand_rows.reshape(-1, ids.shape[1]),
+                                    skip_special_tokens=True)
+            clip_ids, clip_mask = bpe.batch_encode(
+                texts, max_length=cap.cfg.clip_len, pad_to_max=True)
+            te = clip.apply({"params": params["clip"]}, jnp.asarray(clip_ids),
+                            jnp.asarray(clip_mask), method=CLIPModel.encode_text)
+            cp, cos = clip.apply({"params": params["clip"]},
+                                 jnp.asarray(image_embeds), te,
+                                 method=CLIPModel.similarity)
+            final = alpha * top_probs + beta * np.asarray(cp) + gamma * pos_probs
+            sel = np.argmax(final, axis=1)
+            ids[0, seed_len + pos] = idxs[0, sel[0]]
+        ref_texts.append(wp.batch_decode(ids, skip_special_tokens=True))
+
+    result = cap.run(
+        jnp.asarray(image_embeds), prompt=prompt, max_len=max_len,
+        top_k=top_k, temperature=temperature, max_iter=max_iters,
+        alpha=alpha, beta=beta, gamma=gamma,
+        order="sequential", ctl="pos",
+    )
+    assert result.gen_texts_list[:-1] == ref_texts
