@@ -81,6 +81,27 @@ def dot_product_attention(
     dtype = q.dtype
     depth = q.shape[-1]
     scale = depth ** -0.5
+
+    if impl == "xla_bhsd":
+        # explicit (B, H, S, D) layout: the transposes sit right after the
+        # projections where XLA can fuse them into the matmul epilogue. At
+        # large batch (B*k >= 3200 rows) the bqhd einsum formulation makes
+        # XLA materialize 48 full-tensor layout copies per step (measured:
+        # 17% of device time at B=16); this variant avoids the flip.
+        qt = jnp.transpose(q, (0, 2, 1, 3))
+        kt = jnp.transpose(k, (0, 2, 1, 3))
+        vt = jnp.transpose(v, (0, 2, 1, 3))
+        logits = (
+            jnp.einsum("bhqd,bhkd->bhqk", qt, kt,
+                       preferred_element_type=jnp.float32)
+            * scale
+        )
+        if bias is not None:
+            logits = logits + bias
+        weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, vt)
+        return jnp.transpose(out, (0, 2, 1, 3)).astype(dtype)
+
     # (B, H, Sq, Sk) logits in fp32
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32

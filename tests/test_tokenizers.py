@@ -122,3 +122,24 @@ def test_extra_stop_words():
     vocab = make_test_wordpiece_vocab()
     mask_mid, _ = build_token_masks(vocab, extra_stop_words=["girl"])
     assert mask_mid[vocab["girl"]] == 0.0
+
+
+def test_stop_words_file_exact_mode(tmp_path):
+    """--stop_words_path loads a reference-format file verbatim
+    (demo.py:134-143 semantics: one token per line, ids zeroed)."""
+    from conzic_tpu.text import build_token_masks, make_test_wordpiece_vocab
+    from conzic_tpu.text.vocab import load_stop_words_file
+
+    vocab = make_test_wordpiece_vocab()
+    stop_file = tmp_path / "stop_words.txt"
+    stop_file.write_text("girl\ndog\n,\nnot-in-vocab\n")
+    words = load_stop_words_file(str(stop_file))
+    mask_mid, mask_last = build_token_masks(vocab, stop_words=words)
+    assert mask_mid[vocab["girl"]] == 0.0
+    assert mask_mid[vocab["dog"]] == 0.0
+    assert mask_mid[vocab[","]] == 0.0
+    # unknown stop words map to [UNK] (reference convert_tokens_to_ids)
+    assert mask_mid[vocab["[UNK]"]] == 0.0
+    # everything else untouched except the '.' rule
+    assert mask_mid[vocab["cat"]] == 1.0
+    assert mask_mid[vocab["."]] == 0.0 and mask_last[vocab["."]] == 1.0
