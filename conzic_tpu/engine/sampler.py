@@ -131,7 +131,7 @@ class Captioner:
         }
         params = {"bert": bert_params, "clip": clip_params}
         self.tables = mesh_lib.replicate(mesh, tables)
-        self.params = mesh_lib.replicate(
+        self.params = mesh_lib.shard_params(
             mesh, jax.tree.map(jnp.asarray, params)
         )
         self._jit_cache: Dict[Any, Any] = {}

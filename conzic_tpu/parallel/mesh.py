@@ -17,6 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -24,6 +25,49 @@ def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     if num_devices is not None:
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(data: int, model: int, devices=None) -> Mesh:
+    """(data, model) mesh. The model axis shards the vocab dimension of the
+    BERT word embedding / MLM projection — optional tensor-parallel headroom
+    (both models fit per chip, SURVEY.md §2.3, so this is not required for
+    capacity; it demonstrates and tests the TP path)."""
+    devices = devices if devices is not None else jax.devices()
+    devices = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def param_sharding_rules(mesh: Mesh, params):
+    """NamedSharding tree for the param pytree: vocab-dim tensors sharded
+    over the model axis when present, everything else replicated."""
+    has_model = MODEL_AXIS in mesh.axis_names
+
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+
+    def rule(path, leaf):
+        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        if (
+            has_model
+            and leaf.shape
+            and leaf.shape[0] % model_size == 0
+            and (
+                name.endswith("embeddings/word/embedding")
+                or name.endswith("mlm/bias")
+            )
+        ):
+            spec = P(MODEL_AXIS) if leaf.ndim == 1 else P(MODEL_AXIS, None)
+            return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    import jax as _jax
+
+    return _jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(mesh: Optional[Mesh], params):
+    if mesh is None:
+        return params
+    return jax.device_put(params, param_sharding_rules(mesh, params))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -53,7 +97,7 @@ def pad_batch_to_mesh(arrays: Sequence[np.ndarray], mesh: Optional[Mesh]):
     (padded arrays, original size)."""
     if mesh is None:
         return list(arrays), arrays[0].shape[0]
-    n = mesh.devices.size
+    n = dict(zip(mesh.axis_names, mesh.devices.shape))[DATA_AXIS]
     B = arrays[0].shape[0]
     pad = (-B) % n
     if pad == 0:
