@@ -52,13 +52,37 @@ def build_captioner(cfg, random_models: bool = False, mesh=None) -> Captioner:
     return Captioner.from_pretrained(cfg, mesh=mesh)
 
 
-def run_caption(cfg, image_path, captioner, logger, rng):
+def run_caption(cfg, image_path, captioner, logger, rng, fuse_samples=True):
     from PIL import Image
 
     logger.info(f"Processing: {image_path}")
     image_instance = Image.open(image_path).convert("RGB")
     img_name = [image_path.split("/")[-1]] * cfg.batch_size
     image_embeds = captioner.encode_images([image_instance] * cfg.batch_size)
+    if fuse_samples and cfg.samples_num > 1:
+        # all samples as fused batch lanes of ONE compiled program —
+        # byte-identical results to the sequential loop (test-pinned)
+        result = captioner.run(
+            image_embeds, prompt=cfg.prompt, max_len=cfg.sentence_len,
+            top_k=cfg.candidate_k, temperature=cfg.lm_temperature,
+            max_iter=cfg.num_iterations, alpha=cfg.alpha, beta=cfg.beta,
+            order=cfg.order, rng=rng, n_samples=cfg.samples_num,
+        )
+        for sample_id, res in enumerate(
+            captioner.split_samples(result, cfg.samples_num)
+        ):
+            logger.info(f"Sample {sample_id}: ")
+            if captioner.cfg.verbose:
+                captioner.log_iterations(logger, img_name, res)
+            logger.info(
+                "Finished in %.3fs (fused over %d samples)"
+                % (result.elapsed_s, cfg.samples_num)
+            )
+            for i in range(cfg.batch_size):
+                logger.info(f"The {i + 1}-th image: {img_name[i]}")
+                logger.info(f"final caption: {res.gen_texts_list[-2][i]}")
+                logger.info(f"best caption: {res.gen_texts_list[-1][i]}")
+        return
     for sample_id in range(cfg.samples_num):
         logger.info(f"Sample {sample_id}: ")
         generate_caption(
@@ -94,6 +118,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_reference_args(parser)
     parser.add_argument("--random_models", action="store_true")
+    parser.add_argument("--no_fuse_samples", action="store_true",
+                        help="run samples as a sequential loop instead of "
+                             "fused batch lanes (same results either way)")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     rng = set_seed(cfg.seed)
@@ -111,7 +138,8 @@ def main(argv=None):
 
     captioner = build_captioner(cfg, random_models=args.random_models)
     if cfg.run_type == "caption":
-        run_caption(cfg, cfg.caption_img_path, captioner, logger, rng)
+        run_caption(cfg, cfg.caption_img_path, captioner, logger, rng,
+                    fuse_samples=not args.no_fuse_samples)
     elif cfg.run_type == "controllable":
         run_control(cfg, cfg.caption_img_path, captioner, logger, rng)
     else:

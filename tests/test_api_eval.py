@@ -115,3 +115,32 @@ def test_stage_timers_report():
         pass
     rep = t.report()
     assert "build" in rep and "run" in rep and "2 call(s)" in rep
+
+
+def test_compat_shim_reference_signatures(captioner):
+    """conzic_tpu.compat mirrors the reference call signatures."""
+    import numpy as np
+    import jax.numpy as jnp
+    from conzic_tpu import compat
+    from conzic_tpu.runtime.logging import null_logger
+
+    cap = captioner
+    rng = np.random.RandomState(0)
+    embeds = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    texts, scores = compat.generate_caption(
+        ["x.jpg"], cap, None, None, embeds, None, null_logger(),
+        prompt="Image of a", batch_size=1, max_len=4, top_k=6,
+        temperature=0.1, max_iter=2, alpha=0.02, beta=2.0,
+        generate_order="sequential",
+    )
+    assert len(texts) == 3 and len(scores) == 3
+    # utils parity
+    batch = compat.get_init_text(cap.wp, "Image of a", 4, batch_size=2)
+    assert len(batch) == 2 and batch[0][0] == cap.wp.cls_token_id
+    mask = np.ones((1, cap.wp.vocab_size), np.float32)
+    m2 = compat.update_token_mask(cap.wp, mask, 4, 1)
+    assert m2[0, cap.wp.vocab["."]] == 0.0
+    m3 = compat.update_token_mask(cap.wp, mask, 4, 3)
+    assert m3[0, cap.wp.vocab["."]] == 1.0

@@ -104,3 +104,31 @@ def test_run_cli_writes_reference_artifacts(tmp_path, monkeypatch, tiny_captione
         res = json.load(f)
     assert len(res) == 4  # 5 images, drop_last -> 4 captioned
     assert all(isinstance(v, str) for v in res.values())
+
+
+def test_demo_cli_fused_samples_match_looped(tmp_path, monkeypatch, tiny_captioner):
+    """--no_fuse_samples and the default fused path log identical captions."""
+    from conzic_tpu.api import demo
+
+    img_dir = tmp_path / "imgs"
+    _write_images(str(img_dir), 1)
+    monkeypatch.setattr(
+        demo, "build_captioner", lambda cfg, random_models=False, mesh=None: tiny_captioner
+    )
+    argv = [
+        "--run_type", "caption", "--order", "shuffle",
+        "--sentence_len", "4", "--candidate_k", "6", "--num_iterations", "2",
+        "--samples_num", "2",
+        "--caption_img_path", str(img_dir / "img_0.jpg"),
+    ]
+    out = {}
+    for mode, extra in (("fused", []), ("loop", ["--no_fuse_samples"])):
+        d = tmp_path / mode
+        d.mkdir()
+        monkeypatch.chdir(d)
+        demo.main(argv + extra)
+        log = (d / "logger" / os.listdir(d / "logger")[0]).read_text()
+        out[mode] = [l for l in log.splitlines()
+                     if l.startswith(("final caption:", "best caption:"))]
+    assert out["fused"] == out["loop"]
+    assert len(out["fused"]) == 4  # 2 samples x (final+best)
