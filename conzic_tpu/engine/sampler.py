@@ -145,7 +145,7 @@ class Captioner:
 
             self._decoder = (
                 _native.NativeWordPieceDecoder(wp)
-                if _native.available()
+                if _native.available() and isinstance(wp, WordPieceTokenizer)
                 else wp
             )
         except Exception:
@@ -172,7 +172,14 @@ class Captioner:
                                scan_layers=config.scan_layers)
         clip = CLIPModel(clip_cfg, dtype=dtype, attn_impl=config.attn_impl,
                          scan_layers=config.scan_layers)
-        wp = WordPieceTokenizer.from_pretrained(config.lm_model)
+        from conzic_tpu.models.configs import load_hf_config
+
+        if load_hf_config(config.lm_model).get("model_type") == "roberta":
+            from conzic_tpu.text.roberta_bpe import RobertaBPETokenizer
+
+            wp = RobertaBPETokenizer.from_pretrained(config.lm_model)
+        else:
+            wp = WordPieceTokenizer.from_pretrained(config.lm_model)
         bpe = CLIPBPETokenizer.from_pretrained(config.match_model)
         return cls(bert, bert_params, clip, clip_params, wp, bpe, config, mesh)
 

@@ -47,7 +47,7 @@ class BertEmbeddings(nn.Module):
         word = nn.Embed(
             cfg.vocab_size, cfg.hidden_size, dtype=self.dtype, name="word"
         )(input_ids)
-        positions = jnp.arange(S)[None, :]
+        positions = jnp.arange(S)[None, :] + cfg.position_offset
         pos = nn.Embed(
             cfg.max_position_embeddings,
             cfg.hidden_size,

@@ -33,6 +33,9 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     hidden_act: str = "gelu"  # exact (erf) gelu, as HF BERT
     pad_token_id: int = 0
+    # RoBERTa: position ids start at pad_token_id + 1 = 2 for unpadded
+    # sequences (HF create_position_ids_from_input_ids); BERT: 0
+    position_offset: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -52,6 +55,8 @@ class BertConfig:
 
     @staticmethod
     def from_hf_dict(d: dict) -> "BertConfig":
+        is_roberta = d.get("model_type") == "roberta"
+        pad = d.get("pad_token_id", 1 if is_roberta else 0)
         return BertConfig(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -62,7 +67,8 @@ class BertConfig:
             type_vocab_size=d.get("type_vocab_size", 2),
             layer_norm_eps=d.get("layer_norm_eps", 1e-12),
             hidden_act=d.get("hidden_act", "gelu"),
-            pad_token_id=d.get("pad_token_id", 0),
+            pad_token_id=pad,
+            position_offset=(pad + 1) if is_roberta else 0,
         )
 
 

@@ -57,8 +57,12 @@ def _ln(sd: StateDict, prefix: str) -> dict:
 
 
 def bert_params_from_state_dict(sd: StateDict, config: BertConfig) -> dict:
-    """Map an HF ``BertForMaskedLM`` state dict onto our param tree."""
+    """Map an HF ``BertForMaskedLM`` or ``RobertaForMaskedLM`` state dict
+    onto our param tree (the encoders are structurally identical; RoBERTa
+    differs in prefix and MLM head naming)."""
     H, D = config.num_heads, config.head_dim
+    if any(k.startswith("roberta.") for k in sd):
+        return _roberta_params(sd, config)
     p = "bert."
     if not any(k.startswith(p) for k in sd):
         p = ""  # bare encoder checkpoints
@@ -97,6 +101,48 @@ def bert_params_from_state_dict(sd: StateDict, config: BertConfig) -> dict:
         "transform": _dense(sd, "cls.predictions.transform.dense"),
         "ln": _ln(sd, "cls.predictions.transform.LayerNorm"),
         "bias": sd.get("cls.predictions.bias", sd.get("cls.predictions.decoder.bias")),
+    }
+    return params
+
+
+def _roberta_params(sd: StateDict, config: BertConfig) -> dict:
+    """HF RobertaForMaskedLM: ``roberta.`` prefix, MLM head under
+    ``lm_head.{dense,layer_norm,bias}``."""
+    H, D = config.num_heads, config.head_dim
+    p = "roberta."
+    params: dict = {
+        "embeddings": {
+            "word": {"embedding": sd[f"{p}embeddings.word_embeddings.weight"]},
+            "position": {
+                "embedding": sd[f"{p}embeddings.position_embeddings.weight"]
+            },
+            "token_type": {
+                "embedding": sd[f"{p}embeddings.token_type_embeddings.weight"]
+            },
+            "ln": _ln(sd, f"{p}embeddings.LayerNorm"),
+        },
+        "encoder": {},
+    }
+    for i in range(config.num_layers):
+        lp = f"{p}encoder.layer.{i}."
+        params["encoder"][f"layer_{i}"] = {
+            "attention": {
+                "query": _dense_general_in(sd, lp + "attention.self.query", H, D),
+                "key": _dense_general_in(sd, lp + "attention.self.key", H, D),
+                "value": _dense_general_in(sd, lp + "attention.self.value", H, D),
+                "out": _dense_general_out(sd, lp + "attention.output.dense", H, D),
+            },
+            "ln1": _ln(sd, lp + "attention.output.LayerNorm"),
+            "mlp": {
+                "fc1": _dense(sd, lp + "intermediate.dense"),
+                "fc2": _dense(sd, lp + "output.dense"),
+            },
+            "ln2": _ln(sd, lp + "output.LayerNorm"),
+        }
+    params["mlm"] = {
+        "transform": _dense(sd, "lm_head.dense"),
+        "ln": _ln(sd, "lm_head.layer_norm"),
+        "bias": sd.get("lm_head.bias", sd.get("lm_head.decoder.bias")),
     }
     return params
 

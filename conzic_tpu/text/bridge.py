@@ -58,13 +58,15 @@ def build_bridge_table(
 ) -> BridgeTable:
     """``max_pieces=None`` (default) sizes the table to the longest piece
     sequence actually present in the vocab, so no token is ever truncated."""
+    from conzic_tpu.text.vocab import token_body
+
     V = wp.vocab_size
     special = set(wp.special_tokens)
     entries: list[tuple[int, str]] = []
     for tok, i in wp.vocab.items():
         if tok in special:
             continue
-        body = tok[2:] if tok.startswith("##") else tok
+        body = token_body(tok)
         if body:
             entries.append((i, body))
     all_pieces: dict[int, list[int]] = {}

@@ -163,17 +163,20 @@ def build_pos_table(
     (they never start a tagged word on their own)."""
     if use_nltk is None:
         use_nltk = _nltk_available()
+    from conzic_tpu.text.vocab import token_body
+
     table = np.full((len(vocab),), TAG_TO_ID["X"], np.int32)
     if use_nltk:
         from nltk import pos_tag
     for tok, i in vocab.items():
-        if tok.startswith("[") or tok.startswith("##") or not tok:
+        body = token_body(tok)
+        if tok.startswith(("[", "<")) or tok.startswith("##") or not body:
             continue
         if use_nltk:
-            tag = pos_tag([tok], tagset="universal")[0][1]
+            tag = pos_tag([body], tagset="universal")[0][1]
             table[i] = TAG_TO_ID.get(tag, TAG_TO_ID["X"])
         else:
-            table[i] = TAG_TO_ID[rule_tag(tok)]
+            table[i] = TAG_TO_ID[rule_tag(body)]
     return table
 
 
@@ -189,23 +192,27 @@ def build_sentiment_table(
     if use_nltk is None:
         use_nltk = _nltk_available()
     table = np.zeros((len(vocab),), np.float32)
+    from conzic_tpu.text.vocab import token_body
+
     if use_nltk:
         from nltk.corpus import sentiwordnet
 
         for tok, i in vocab.items():
-            if tok.startswith("[") or tok.startswith("##") or not tok:
+            body = token_body(tok)
+            if tok.startswith(("[", "<")) or tok.startswith("##") or not body:
                 continue
-            syns = list(sentiwordnet.senti_synsets(tok))
+            syns = list(sentiwordnet.senti_synsets(body))
             if syns:
                 table[i] = sum(s.pos_score() - s.neg_score() for s in syns) / len(
                     syns
                 )
     else:
         for tok, i in vocab.items():
-            if tok in _POSITIVE:
-                table[i] = _POSITIVE[tok]
-            elif tok in _NEGATIVE:
-                table[i] = _NEGATIVE[tok]
+            body = token_body(tok)
+            if body in _POSITIVE:
+                table[i] = _POSITIVE[body]
+            elif body in _NEGATIVE:
+                table[i] = _NEGATIVE[body]
     return table
 
 
