@@ -29,7 +29,7 @@ from conzic_tpu.models.layers import (
     LayerNorm,
     TransformerStack,
 )
-from conzic_tpu.ops.attention import make_attention_bias
+from conzic_tpu.ops.attention import make_attn_mask
 
 
 class BertEmbeddings(nn.Module):
@@ -128,8 +128,8 @@ class BertForMaskedLM(nn.Module):
         token_type_ids: Optional[jax.Array] = None,
     ) -> jax.Array:
         x = self.embeddings(input_ids, token_type_ids)
-        bias = make_attention_bias(attention_mask, input_ids.shape[1])
-        return self.encoder(x, bias)
+        mask = make_attn_mask(attention_mask, input_ids.shape[1])
+        return self.encoder(x, mask)
 
     def lm_head(self, hidden: jax.Array) -> jax.Array:
         word_table = self.variables["params"]["embeddings"]["word"]["embedding"]

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from conzic_tpu.models.configs import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
 from conzic_tpu.models.layers import LayerNorm, TransformerStack
-from conzic_tpu.ops.attention import make_attention_bias
+from conzic_tpu.ops.attention import make_attn_mask
 
 
 class CLIPTextTower(nn.Module):
@@ -54,7 +54,7 @@ class CLIPTextTower(nn.Module):
             jnp.float32,
         )
         x = x + pos_table[:S].astype(self.dtype)[None, :, :]
-        bias = make_attention_bias(attention_mask, S, causal=True)
+        bias = make_attn_mask(attention_mask, S, causal=True)
         x = TransformerStack(
             num_layers=cfg.num_layers,
             num_heads=cfg.num_heads,

@@ -104,7 +104,12 @@ class MultiHeadAttention(nn.Module):
         q = dense("query")(x)
         k = dense("key")(x)
         v = dense("value")(x)
-        out = dot_product_attention(q, k, v, bias=bias, impl=self.attn_impl)
+        from conzic_tpu.ops.attention import AttnMask
+
+        if isinstance(bias, AttnMask):
+            out = dot_product_attention(q, k, v, mask=bias, impl=self.attn_impl)
+        else:
+            out = dot_product_attention(q, k, v, bias=bias, impl=self.attn_impl)
         return nn.DenseGeneral(
             features=features, axis=(-2, -1), dtype=self.dtype, name="out"
         )(out)

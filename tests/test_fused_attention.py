@@ -1,0 +1,45 @@
+"""Fused Pallas attention == XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conzic_tpu.ops.attention import dot_product_attention, make_attention_bias
+from conzic_tpu.ops.fused_attention import fused_masked_attention
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_fused_attention_matches_xla(causal):
+    rng = np.random.RandomState(0)
+    N, S, H, D = 7, 12, 4, 16
+    q, k, v = (jnp.asarray(rng.randn(N, S, H, D).astype(np.float32))
+               for _ in range(3))
+    lens = np.array([12, 5, 8, 1, 12, 3, 10], np.int32)
+    pad_mask = (np.arange(S)[None, :] < lens[:, None]).astype(np.int32)
+    bias = make_attention_bias(jnp.asarray(pad_mask), S, causal=causal)
+    ref = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    got = fused_masked_attention(q, k, v, jnp.asarray(lens), causal=causal,
+                                 group=4, interpret=True)
+    # rows beyond a query's own length attend to garbage in both paths only
+    # insofar as padding queries are unused downstream; compare valid rows
+    for n in range(N):
+        np.testing.assert_allclose(
+            np.asarray(got[n, : lens[n]]), np.asarray(ref[n, : lens[n]]),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
+def test_fused_attention_no_lens():
+    rng = np.random.RandomState(1)
+    N, S, H, D = 4, 8, 2, 8
+    q, k, v = (jnp.asarray(rng.randn(N, S, H, D).astype(np.float32))
+               for _ in range(3))
+    ref = dot_product_attention(
+        q, k, v, bias=make_attention_bias(None, S, causal=True), impl="xla"
+    )
+    got = fused_masked_attention(q, k, v, None, causal=True, group=2,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
