@@ -83,8 +83,33 @@ class LayerNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+class _DGParams(nn.Module):
+    """Parameter holder matching nn.DenseGeneral's tree ({kernel, bias}) so
+    the fused-block kernel can consume raw weights with unchanged
+    checkpoint-conversion naming."""
+
+    kernel_shape: tuple
+    bias_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape,
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, self.bias_shape, jnp.float32
+        )
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
-    """Standard MHA with bias on all projections (as in BERT and CLIP)."""
+    """Standard MHA with bias on all projections (as in BERT and CLIP).
+
+    ``residual`` (when given) is added to the output — standard path adds
+    it after the out-projection; ``attn_impl="pallas_block"`` on TPU runs
+    the whole block (projections + attention + out-proj + residual) as one
+    VMEM-resident Pallas kernel."""
 
     num_heads: int
     head_dim: int
@@ -93,26 +118,59 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, bias: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        bias: Optional[jax.Array] = None,
+        residual: Optional[jax.Array] = None,
     ) -> jax.Array:
-        features = self.num_heads * self.head_dim
+        from conzic_tpu.ops.attention import AttnMask
+
+        H, D = self.num_heads, self.head_dim
+        E = H * D
+        use_block = (
+            self.attn_impl == "pallas_block"
+            and residual is not None
+            and jax.default_backend() == "tpu"
+            # the kernel consumes lens/causal, not raw additive biases
+            and (bias is None or isinstance(bias, AttnMask))
+        )
+        if use_block:
+            from conzic_tpu.ops.fused_attn_block import fused_attention_block
+
+            wq, bq = _DGParams((E, H, D), (H, D), name="query")()
+            wk, bk = _DGParams((E, H, D), (H, D), name="key")()
+            wv, bv = _DGParams((E, H, D), (H, D), name="value")()
+            wo, bo = _DGParams((H, D, E), (E,), name="out")()
+            mask = bias if isinstance(bias, AttnMask) else AttnMask(bias=bias)
+            dt = self.dtype
+            return fused_attention_block(
+                x.astype(dt), residual.astype(dt),
+                wq.reshape(E, E).astype(dt), bq.reshape(E),
+                wk.reshape(E, E).astype(dt), bk.reshape(E),
+                wv.reshape(E, E).astype(dt), bv.reshape(E),
+                wo.reshape(E, E).astype(dt), bo,
+                mask.lens,
+                heads=H,
+                causal=mask.causal,
+            )
+
         dense = lambda name: nn.DenseGeneral(
-            features=(self.num_heads, self.head_dim),
-            dtype=self.dtype,
-            name=name,
+            features=(H, D), dtype=self.dtype, name=name
         )
         q = dense("query")(x)
         k = dense("key")(x)
         v = dense("value")(x)
-        from conzic_tpu.ops.attention import AttnMask
-
+        impl = self.attn_impl if self.attn_impl != "pallas_block" else "xla"
         if isinstance(bias, AttnMask):
-            out = dot_product_attention(q, k, v, mask=bias, impl=self.attn_impl)
+            out = dot_product_attention(q, k, v, mask=bias, impl=impl)
         else:
-            out = dot_product_attention(q, k, v, bias=bias, impl=self.attn_impl)
-        return nn.DenseGeneral(
-            features=features, axis=(-2, -1), dtype=self.dtype, name="out"
+            out = dot_product_attention(q, k, v, bias=bias, impl=impl)
+        out = nn.DenseGeneral(
+            features=E, axis=(-2, -1), dtype=self.dtype, name="out"
         )(out)
+        if residual is not None:
+            out = out + residual
+        return out
 
 
 class Mlp(nn.Module):
@@ -168,10 +226,10 @@ class TransformerBlock(nn.Module):
         ln2 = LayerNorm(eps=self.eps, dtype=self.dtype, name="ln2")
 
         if self.pre_ln:
-            x = x + attn(ln1(x), bias)
+            x = attn(ln1(x), bias, residual=x)
             x = x + mlp(ln2(x))
         else:
-            x = ln1(x + attn(x, bias))
+            x = ln1(attn(x, bias, residual=x))
             x = ln2(x + mlp(x))
         if self.as_scan_body:
             return x, None

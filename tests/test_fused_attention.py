@@ -43,3 +43,40 @@ def test_fused_attention_no_lens():
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_block_matches_composition():
+    """projections + attention + out-proj + residual fused == composed ops
+    (interpret mode)."""
+    from conzic_tpu.ops.fused_attn_block import fused_attention_block
+
+    rng = np.random.RandomState(2)
+    N, S, H, D = 5, 10, 4, 16
+    E = H * D
+    x = jnp.asarray(rng.randn(N, S, E).astype(np.float32))
+    res = jnp.asarray(rng.randn(N, S, E).astype(np.float32))
+    ws = {n: jnp.asarray(rng.randn(E, E).astype(np.float32) * 0.05)
+          for n in "qkvo"}
+    bs = {n: jnp.asarray(rng.randn(E).astype(np.float32) * 0.1)
+          for n in "qkvo"}
+    lens = np.array([10, 4, 7, 1, 9], np.int32)
+
+    got = fused_attention_block(
+        x, res, ws["q"], bs["q"], ws["k"], bs["k"], ws["v"], bs["v"],
+        ws["o"], bs["o"], jnp.asarray(lens), heads=H, causal=True,
+        group=4, interpret=True,
+    )
+
+    def proj(w, b):
+        return (x.reshape(-1, E) @ w + b).reshape(N, S, H, D)
+
+    q, k, v = proj(ws["q"], bs["q"]), proj(ws["k"], bs["k"]), proj(ws["v"], bs["v"])
+    pad_mask = (np.arange(S)[None, :] < lens[:, None]).astype(np.int32)
+    bias = make_attention_bias(jnp.asarray(pad_mask), S, causal=True)
+    ctx = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    ref = (ctx.reshape(N * S, E) @ ws["o"] + bs["o"]).reshape(N, S, E) + res
+    for n in range(N):
+        np.testing.assert_allclose(
+            np.asarray(got[n, : lens[n]]), np.asarray(ref[n, : lens[n]]),
+            rtol=2e-4, atol=2e-4,
+        )
