@@ -91,14 +91,21 @@ def build_ui(captioner, cfg: ConzicConfig):
                                            label="Num Iterations")
                 samples_num = gr.Slider(1, 5, value=1, step=1,
                                         label="Samples")
-                alpha = gr.Number(value=cfg.alpha, label="alpha (fluency)")
-                beta = gr.Number(value=cfg.beta, label="beta (image match)")
-                gamma = gr.Number(value=cfg.gamma, label="gamma (control)")
-                image = gr.Image(type="pil", label="Image")
-                submit = gr.Button("Submit")
+                alpha = gr.Slider(0, 1, value=cfg.alpha, step=0.01,
+                                  label="Alpha", info="Weight for fluency")
+                beta = gr.Slider(1, 5, value=cfg.beta, step=0.5,
+                                 label="Beta", info="Weight for image-matching degree")
+                gamma = gr.Slider(1, 10, value=cfg.gamma, step=0.5,
+                                  label="Gamma", info="weight for controllable degree")
+                image = gr.Image(type="pil", label="Upload Picture")
+                with gr.Row():
+                    submit = gr.Button("Submit")
+                    reset = gr.Button("Reset")
             with gr.Column():
-                final_out = gr.Textbox(label="Final Caption")
-                best_out = gr.Textbox(label="Best Caption")
+                final_out = gr.Textbox(label="Final Caption", lines=5,
+                                       placeholder="Final Caption")
+                best_out = gr.Textbox(label="Best Caption", lines=5,
+                                      placeholder="Best Caption")
 
         def on_run_type(rt):
             vis = rt == "controllable"
@@ -116,6 +123,17 @@ def build_ui(captioner, cfg: ConzicConfig):
              sentence_len, num_iterations, samples_num, alpha, beta, gamma,
              image],
             [final_out, best_out],
+        )
+
+        def on_reset():
+            d = ConzicConfig()
+            return ("caption", "sentiment", "positive", "shuffle",
+                    "Image of a", 10, 10, 2, d.alpha, d.beta, d.gamma)
+
+        reset.click(
+            on_reset, [],
+            [run_type, control_type, sentiment_type, order, prompt,
+             sentence_len, num_iterations, samples_num, alpha, beta, gamma],
         )
     return ui
 
