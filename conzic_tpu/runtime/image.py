@@ -30,7 +30,8 @@ def preprocess_pil(image, image_size: int = 224) -> np.ndarray:
     w, h = image.size
     short, long = (w, h) if w <= h else (h, w)
     new_short = image_size
-    new_long = int(round(image_size * long / short))
+    # HF truncates (int), not rounds (image_transforms.get_resize_output_image_size)
+    new_long = int(image_size * long / short)
     nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
     image = image.resize((nw, nh), Image.BICUBIC)
     left = (nw - image_size) // 2
@@ -56,9 +57,9 @@ def preprocess_jax(pixels, image_size: int = 224):
     pixels = jnp.asarray(pixels).astype(jnp.float32)
     h, w = pixels.shape[0], pixels.shape[1]
     if h <= w:
-        nh, nw = image_size, int(round(image_size * w / h))
+        nh, nw = image_size, int(image_size * w / h)
     else:
-        nh, nw = int(round(image_size * h / w)), image_size
+        nh, nw = int(image_size * h / w), image_size
     out = jimage.resize(pixels, (nh, nw, pixels.shape[2]), method="bicubic")
     top = (nh - image_size) // 2
     left = (nw - image_size) // 2
