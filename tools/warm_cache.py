@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Pre-compile common engine configurations into the persistent XLA cache.
+
+Cold compiles on the axon remote compiler run 2-6 minutes per shape; this
+warms the cache for the default demo/run/bench configs so first real runs
+start in seconds. Run it once per checkout (or after engine changes).
+
+Usage: python tools/warm_cache.py [--quick]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="only the benchmark config")
+    args = p.parse_args()
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from bench import build_captioner
+
+    cap = build_captioner()
+    cap.cfg.verbose = False
+    cap.cfg.clip_len = 24
+    D = cap.clip_model.config.projection_dim
+
+    configs = [
+        # (order, B, k, iters, max_len, ctl)
+        ("sequential", 4, 200, 15, 10, None),  # bench headline
+    ]
+    if not args.quick:
+        configs += [
+            ("shuffle", 1, 200, 10, 10, None),      # demo default caption
+            ("shuffle", 1, 200, 10, 10, "sentiment"),  # demo default control
+            ("sequential", 2, 200, 10, 10, None),   # run.py default
+        ]
+    for order, B, k, iters, L, ctl in configs:
+        emb = jnp.asarray(np.zeros((B, D), np.float32))
+        t0 = time.time()
+        cap.run(emb, prompt="Image of a", max_len=L, top_k=k,
+                temperature=0.1, max_iter=iters, alpha=0.02, beta=2.0,
+                gamma=5.0, order=order, ctl=ctl,
+                rng=np.random.RandomState(0))
+        print(f"warmed {order} B={B} k={k} iters={iters} ctl={ctl}: "
+              f"{time.time() - t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
