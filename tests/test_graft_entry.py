@@ -1,0 +1,14 @@
+"""Driver contract: entry() compiles and runs; shapes sane."""
+
+import jax
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    iter_ids, iter_cos, iter_ctl, best_ids, best_cos = out
+    assert iter_ids.shape[0] == 2  # iterations
+    assert best_ids.shape == iter_ids.shape[1:]
+    assert best_cos.shape == (iter_ids.shape[1],)
