@@ -16,7 +16,7 @@ sides run full-architecture randomly initialized models over a synthetic
     in .bench_baseline.json. The reference itself supports only
     cuda|cpu (demo.py:20-21); torch-cpu is its runnable config here.
 
-Env knobs: CONZIC_BENCH_BATCH (default 8), CONZIC_BENCH_K (200),
+Env knobs: CONZIC_BENCH_BATCH (default 4), CONZIC_BENCH_K (200),
 CONZIC_BENCH_ITERS (15), CONZIC_BENCH_SKIP_TORCH=1 to reuse/skip baseline.
 """
 

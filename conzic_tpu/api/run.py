@@ -31,7 +31,7 @@ def iter_image_batches(dir_path: str, batch_size: int, logger):
     """Yields (pil_images, names) of exactly batch_size (drop_last=True)."""
     from PIL import Image
 
-    names = os.listdir(dir_path)
+    names = sorted(os.listdir(dir_path))  # deterministic batching
     batch_imgs, batch_names = [], []
     for name in names:
         try:

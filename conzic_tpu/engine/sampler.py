@@ -61,12 +61,12 @@ def random_params_like(init_fn, seed: int, *example_inputs):
     def produce(key):
         def fill(path, leaf):
             name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+            if name.endswith("logit_scale"):  # before the generic "scale"
+                return jnp.full(leaf.shape, 4.6052, leaf.dtype)
             if name.endswith("scale"):
                 return jnp.ones(leaf.shape, leaf.dtype)
             if name.endswith("bias"):
                 return jnp.zeros(leaf.shape, leaf.dtype)
-            if name.endswith("logit_scale"):
-                return jnp.full(leaf.shape, 4.6052, leaf.dtype)
             import zlib  # crc32: stable across processes (hash() is not)
 
             sub = jax.random.fold_in(key, zlib.crc32(name.encode()) % (2**31))
@@ -120,14 +120,14 @@ class Captioner:
         )
         bridge = build_bridge_table(wp, bpe)
         self.bridge = bridge
+        # control-energy tables (senti/pos/template) are built lazily on the
+        # first controlled run: plain captioning never needs them, and exact
+        # (NLTK) mode pays 30k taggings per construction
         tables = {
             "mask_mid": jnp.asarray(mask_mid),
             "mask_last": jnp.asarray(mask_last),
             "bridge_ids": jnp.asarray(bridge.ids),
             "bridge_lens": jnp.asarray(bridge.lens),
-            "senti": jnp.asarray(build_sentiment_table(wp.vocab)),
-            "pos": jnp.asarray(build_pos_table(wp.vocab)),
-            "template": jnp.asarray(template_matrix(self.cfg.pos_type)),
         }
         params = {"bert": bert_params, "clip": clip_params}
         self.tables = mesh_lib.replicate(mesh, tables)
@@ -283,7 +283,26 @@ class Captioner:
         return np.tile(np.asarray(row, np.int32), (batch_size, 1))
 
     def seed_len(self, prompt: str) -> int:
-        return 1 + len(self.wp.encode(prompt, add_special_tokens=False))
+        """[CLS]+prompt length, derived from an actual init encoding so it
+        can never disagree with init_ids (e.g. RoBERTa's <mask> lstrip
+        absorbs a trailing prompt space)."""
+        return int(len(self.init_ids(prompt, 1, 1)[0])) - 2
+
+    # ------------------------------------------------------------------
+    def _ensure_ctl_tables(self) -> None:
+        """Build the control-energy tables on first use (sentiment/POS
+        lexicons over the vocab + the POS template matrix)."""
+        if "senti" in self.tables:
+            return
+        self.tables["senti"] = mesh_lib.replicate(
+            self.mesh, jnp.asarray(build_sentiment_table(self.wp.vocab))
+        )
+        self.tables["pos"] = mesh_lib.replicate(
+            self.mesh, jnp.asarray(build_pos_table(self.wp.vocab))
+        )
+        self.tables["template"] = mesh_lib.replicate(
+            self.mesh, jnp.asarray(template_matrix(self.cfg.pos_type))
+        )
 
     # ------------------------------------------------------------------
     def _ensure_word_embeds(self) -> None:
@@ -314,16 +333,16 @@ class Captioner:
             ids = np.concatenate([ids, np.tile(ids[-1:], (pad_V, 1))])
             mask = np.concatenate([mask, np.tile(mask[-1:], (pad_V, 1))])
         encode = jax.jit(
-            lambda i, m: self.clip_model.apply(
-                {"params": self.params["clip"]}, i, m,
-                method=CLIPModel.encode_text,
+            lambda p, i, m: self.clip_model.apply(
+                {"params": p}, i, m, method=CLIPModel.encode_text
             )
         )
         outs = []
         for s in range(0, ids.shape[0], chunk):
             outs.append(
                 np.asarray(
-                    encode(jnp.asarray(ids[s : s + chunk]),
+                    encode(self.params["clip"],
+                           jnp.asarray(ids[s : s + chunk]),
                            jnp.asarray(mask[s : s + chunk]))
                 )
             )
@@ -333,9 +352,8 @@ class Captioner:
             self.mesh, jnp.asarray(emb)
         )
 
-    def _spec(self, prompt, max_len, top_k, order_kind, ctl, negative,
+    def _spec(self, seed_len, max_len, top_k, order_kind, ctl, negative,
               prune_k=None) -> EngineSpec:
-        seed_len = self.seed_len(prompt)
         return EngineSpec(
             seed_len=seed_len,
             sentence_len=max_len,
@@ -381,6 +399,7 @@ class Captioner:
         rng: Optional[np.random.RandomState] = None,
         n_samples: int = 1,
         prune_k: Optional[int] = None,
+        pos_template=None,
     ) -> GenerationResult:
         """Run one full generation; decode snapshots on host afterwards.
 
@@ -401,8 +420,20 @@ class Captioner:
             prune_k = None
         if prune_k is not None:
             self._ensure_word_embeds()
+        tables = self.tables
+        if ctl is not None:
+            self._ensure_ctl_tables()
+            if pos_template is not None:
+                # per-call template override; never mutates shared state
+                tables = {
+                    **self.tables,
+                    "template": mesh_lib.replicate(
+                        self.mesh, jnp.asarray(template_matrix(pos_template))
+                    ),
+                }
+        init_row = self.init_ids(prompt, max_len, 1)
         spec = self._spec(
-            prompt, max_len, top_k,
+            init_row.shape[1] - max_len - 1, max_len, top_k,
             sched.kind, ctl, negative, prune_k=prune_k,
         )
         B0 = int(image_embeds.shape[0])
@@ -410,8 +441,9 @@ class Captioner:
         if n_samples > 1:
             image_embeds = jnp.concatenate([image_embeds] * n_samples, axis=0)
         init = self.init_ids(prompt, max_len, B)
-        assert init.shape[1] == spec.seq_len, (
-            f"prompt tokenizes to {init.shape[1]} != spec {spec.seq_len}"
+        n_masks = int((init[0] == self.wp.mask_token_id).sum())
+        assert n_masks == max_len, (
+            f"prompt {prompt!r} encoded {n_masks} mask slots, expected {max_len}"
         )
         hyper = {
             "alpha": jnp.float32(alpha),
@@ -435,7 +467,7 @@ class Captioner:
 
         t0 = time.time()
         iter_ids, iter_cos, iter_ctl, best_ids, best_cos = self._compiled(spec)(
-            self.params, self.tables, hyper, image_embeds, init_dev,
+            self.params, tables, hyper, image_embeds, init_dev,
             positions, sizes,
         )
         iter_ids = np.asarray(iter_ids)
@@ -615,8 +647,6 @@ def control_generate_caption(
         order = "sequential"  # POS control is sequential-only (":220")
         ctl = "pos"
         negative = False
-        if pos_type is not None:
-            captioner.tables["template"] = jnp.asarray(template_matrix(pos_type))
     result = captioner.run(
         image_embeds,
         prompt=prompt,
@@ -631,6 +661,7 @@ def control_generate_caption(
         ctl=ctl,
         negative=negative,
         rng=rng,
+        pos_template=pos_type if ctl == "pos" else None,
     )
     if captioner.cfg.verbose:
         captioner.log_iterations(logger, img_name, result, with_ctl=True)

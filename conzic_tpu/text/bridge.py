@@ -74,19 +74,27 @@ def build_bridge_table(
     try:
         from conzic_tpu.text import native
 
-        if native.available() and all(b.isascii() and b.islower() for _, b in entries):
+        if native.available():
             native_enc = native.NativeBpeWordEncoder(bpe)
     except Exception:
         native_enc = None
-    if native_enc is not None:
+    # the native encoder handles pre-normalized lowercase ASCII words; the
+    # rest (punctuation, digits, mixed-case, non-ASCII) go through the
+    # canonical Python path
+    fast = [(i, b) for i, b in entries
+            if b.isascii() and b.islower() and b.isalpha()]
+    slow = [(i, b) for i, b in entries if not (
+        b.isascii() and b.islower() and b.isalpha())]
+    if native_enc is not None and fast:
         ids_arr, lens_arr = native_enc.encode_words(
-            [b for _, b in entries], max_pieces=64
+            [b for _, b in fast], max_pieces=64
         )
-        for row, (i, _) in enumerate(entries):
+        for row, (i, _) in enumerate(fast):
             all_pieces[i] = ids_arr[row, : lens_arr[row]].tolist()
     else:
-        for i, body in entries:
-            all_pieces[i] = bpe.encode_word_ids(body)
+        slow = entries
+    for i, body in slow:
+        all_pieces[i] = bpe.encode_word_ids(body)
     width = max((len(p) for p in all_pieces.values()), default=1)
     if max_pieces is not None:
         width = min(width, max_pieces)

@@ -149,6 +149,8 @@ def _nltk_available() -> bool:
 
         nltk.data.find("corpora/sentiwordnet")
         nltk.data.find("taggers/averaged_perceptron_tagger")
+        # pos_tag(tagset="universal") additionally needs the tagset mapping
+        nltk.data.find("taggers/universal_tagset")
         return True
     except LookupError:
         return False

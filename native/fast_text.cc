@@ -72,6 +72,8 @@ std::string cleanup(std::string text) {
 
 std::string decode_row(const WordPieceVocab& v, const int32_t* ids, int n,
                        bool skip_special) {
+  // Mirrors Python: " ".join(tokens).replace(" ##", "") — only a
+  // space-preceded "##" is merged; a row-leading "##piece" keeps its marker.
   std::string out;
   bool first = true;
   for (int i = 0; i < n; ++i) {
@@ -79,7 +81,7 @@ std::string decode_row(const WordPieceVocab& v, const int32_t* ids, int n,
     if (id < 0 || id >= (int32_t)v.tokens.size()) continue;
     if (skip_special && v.is_special[id]) continue;
     const std::string& tok = v.tokens[id];
-    if (tok.size() > 2 && tok[0] == '#' && tok[1] == '#') {
+    if (!first && tok.size() >= 2 && tok[0] == '#' && tok[1] == '#') {
       out.append(tok, 2, std::string::npos);
     } else {
       if (!first) out.push_back(' ');

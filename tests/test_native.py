@@ -56,3 +56,16 @@ def test_native_bpe_word_encode_matches_python(toks):
     ids, lens = enc.encode_words(words)
     for i, w in enumerate(words):
         assert ids[i, : lens[i]].tolist() == bpe.encode_word_ids(w), w
+
+
+def test_native_decode_row_leading_continuation(toks):
+    """A row-leading '##' piece keeps its marker, matching Python's
+    ' '.join().replace(' ##','') semantics exactly."""
+    wp, _ = toks
+    dec = native.NativeWordPieceDecoder(wp)
+    ing = wp.vocab["##ing"]
+    dog = wp.vocab["dog"]
+    rows = np.asarray([[ing, dog], [dog, ing]], np.int32)
+    assert dec.batch_decode(rows, True) == wp.batch_decode(rows, True)
+    assert dec.batch_decode(rows, True)[0] == "##ing dog"
+    assert dec.batch_decode(rows, True)[1] == "doging"

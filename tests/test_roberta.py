@@ -143,3 +143,13 @@ def test_engine_runs_with_roberta_tokenizer(tmp_path):
     assert final.startswith("image of a")
     # committed tokens decode to space-separated words, no markers leak
     assert "Ġ" not in final and "<mask>" not in final
+
+
+def test_roberta_trailing_space_prompt(tmp_path):
+    """seed_len derives from the encoded row: a trailing prompt space
+    (absorbed by <mask> lstrip) must not desynchronize the engine."""
+    vocab_path, merges_path = make_test_roberta_files(str(tmp_path))
+    rob = RobertaBPETokenizer.from_files(vocab_path, merges_path)
+    text_a = "image of a" + rob.mask_token * 3
+    text_b = "image of a " + rob.mask_token * 3
+    assert rob.encode(text_a) == rob.encode(text_b)  # lstrip semantics
