@@ -144,3 +144,65 @@ def test_compat_shim_reference_signatures(captioner):
     assert m2[0, cap.wp.vocab["."]] == 0.0
     m3 = compat.update_token_mask(cap.wp, mask, 4, 3)
     assert m3[0, cap.wp.vocab["."]] == 1.0
+
+
+def test_clip_scores_eval(captioner, tmp_path):
+    """eval/clipscore: cosine per (image, caption) pair, results-file mode."""
+    from PIL import Image
+
+    from conzic_tpu.eval.clipscore import clip_scores, score_results_file
+
+    rng = np.random.RandomState(5)
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"im_{i}.jpg"
+        Image.fromarray(
+            rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+        ).save(p)
+        paths.append(str(p))
+    scores = clip_scores(captioner, paths, ["a girl", "a dog running"])
+    assert scores.shape == (2,)
+    assert np.all(np.abs(scores) <= 1.0 + 1e-5)
+
+    results = {"im_0": "a girl", "im_1": "a dog running"}
+    rp = tmp_path / "res.json"
+    rp.write_text(json.dumps(results))
+    per_image = score_results_file(captioner, str(rp), str(tmp_path))
+    assert set(per_image) == {"im_0.jpg", "im_1.jpg"}
+
+
+def test_retrieval_cli_end_to_end(captioner, tmp_path, monkeypatch):
+    """conzic-build-index + conzic-retrieval CLI flow with artifacts."""
+    from PIL import Image
+
+    from conzic_tpu.api import retrieval
+
+    corpus = ["a girl with a dog", "sunny beach", "a cat on grass"]
+    (tmp_path / "corpus.json").write_text(json.dumps(corpus))
+    rng = np.random.RandomState(6)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(
+        rng.randint(0, 255, (50, 60, 3), dtype=np.uint8)
+    ).save(img_dir / "q.jpg")
+    (tmp_path / "test.json").write_text(
+        json.dumps([{"image_name": "q.jpg"}, {"image_name": "missing.jpg"}])
+    )
+    monkeypatch.setattr(retrieval, "_make_captioner", lambda args: captioner)
+    retrieval.build_index_main([
+        "--text_file_path", str(tmp_path / "corpus.json"),
+        "--save_index_prefix", str(tmp_path / "index"),
+        "--batch_size", "2",
+    ])
+    retrieval.retrieval_main([
+        "--index_matrix_path", str(tmp_path / "index" / "index_matrix.txt"),
+        "--mapping_dict_path", str(tmp_path / "index" / "mapping_dict.json"),
+        "--test_image_prefix_path", str(img_dir),
+        "--test_path", str(tmp_path / "test.json"),
+        "--save_path_prefix", str(tmp_path),
+    ])
+    with open(tmp_path / "retrieval_result.json") as f:
+        preds = json.load(f)
+    # bad image skipped (invalid counting), good one predicted from corpus
+    assert len(preds) == 1
+    assert preds[0]["prediction"] in corpus
