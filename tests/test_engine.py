@@ -451,3 +451,55 @@ def test_pos_engine_matches_naive_host_loop(captioner):
         order="sequential", ctl="pos",
     )
     assert result.gen_texts_list[:-1] == ref_texts
+
+
+def test_parallel_engine_matches_naive_host_loop(captioner):
+    """Parallel order: ONE unmasked forward per iteration, candidates built
+    from iteration-start rows, commits progressive, '.'-allowed mask
+    everywhere (gen_utils.py:256-273 semantics with the intended kk
+    position index)."""
+    cap = captioner
+    wp, bpe = cap.wp, cap.bpe
+    bert, clip = cap.bert_model, cap.clip_model
+    params = jax.tree.map(np.asarray, cap.params)
+    tables = jax.tree.map(np.asarray, cap.tables)
+    prompt, max_len, top_k, temperature = "Image of a", 4, 6, 0.1
+    alpha, beta, max_iters = 0.02, 2.0, 2
+    rng = np.random.RandomState(31)
+    image_embeds = rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    seed_len = cap.seed_len(prompt)
+    ids = cap.init_ids(prompt, max_len, 1)
+    mask = tables["mask_last"]  # parallel never updates the '.' rule
+    ref_texts = []
+    for _ in range(max_iters):
+        base = ids.copy()
+        logits_all = np.asarray(
+            bert.apply({"params": params["bert"]}, jnp.asarray(ids))
+        )
+        for kk in range(max_len):
+            logits = logits_all[:, seed_len + kk]
+            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits / temperature), -1)) * mask
+            idxs = np.argsort(-probs, axis=-1, kind="stable")[:, :top_k]
+            top_probs = np.take_along_axis(probs, idxs, axis=1)
+            idxs = (idxs * mask[idxs]).astype(np.int64)
+            cand_rows = np.repeat(base[:, None, :], top_k, axis=1)
+            cand_rows[0, :, seed_len + kk] = idxs[0]
+            texts = wp.batch_decode(cand_rows.reshape(-1, ids.shape[1]),
+                                    skip_special_tokens=True)
+            clip_ids, clip_mask = bpe.batch_encode(
+                texts, max_length=cap.cfg.clip_len, pad_to_max=True)
+            te = clip.apply({"params": params["clip"]}, jnp.asarray(clip_ids),
+                            jnp.asarray(clip_mask), method=CLIPModel.encode_text)
+            cp, cos = clip.apply({"params": params["clip"]},
+                                 jnp.asarray(image_embeds), te,
+                                 method=CLIPModel.similarity)
+            final = alpha * top_probs + beta * np.asarray(cp)
+            sel = np.argmax(final, axis=1)
+            ids[0, seed_len + kk] = idxs[0, sel[0]]
+        ref_texts.append(wp.batch_decode(ids, skip_special_tokens=True))
+    result = cap.run(
+        jnp.asarray(image_embeds), prompt=prompt, max_len=max_len,
+        top_k=top_k, temperature=temperature, max_iter=max_iters,
+        alpha=alpha, beta=beta, order="parallel",
+    )
+    assert result.gen_texts_list[:-1] == ref_texts
