@@ -503,3 +503,22 @@ def test_parallel_engine_matches_naive_host_loop(captioner):
         alpha=alpha, beta=beta, order="parallel",
     )
     assert result.gen_texts_list[:-1] == ref_texts
+
+
+def test_build_schedule_shapes_and_validation():
+    from conzic_tpu.engine.orders import build_schedule
+
+    rng = np.random.RandomState(0)
+    s = build_schedule("sequential", 7, 3, rng)
+    assert s.kind == "single" and s.positions.shape == (3, 7)
+    s = build_schedule("shuffle", 7, 3, rng)
+    assert sorted(s.positions[0].tolist()) == list(range(7))
+    assert (s.positions[0] == s.positions[1]).all()  # one perm reused
+    s = build_schedule("random", 7, 3, rng)
+    assert s.positions.shape == (3, 7) and s.positions.max() < 7
+    s = build_schedule("span", 7, 2, rng)
+    assert s.kind == "span" and s.span_sizes[0].tolist() == [2, 2, 2, 1]
+    s = build_schedule("parallel", 7, 2, rng)
+    assert s.kind == "parallel"
+    with pytest.raises(ValueError):
+        build_schedule("bogus", 7, 2, rng)
