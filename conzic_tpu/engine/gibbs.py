@@ -60,12 +60,81 @@ class EngineSpec:
     # candidates by a bag-of-CLIP-word-embeddings proxy before the full
     # text-tower pass — cuts hot-loop FLOPs ~k/prune_k at some quality cost
     prune_k: Optional[int] = None
+    # exact prefix-KV reuse (see CLIPModel.encode_text_shared_prefix):
+    # ((prefix_len, n_steps), ...) chunking of the per-iteration position
+    # scan — each chunk's steps share a static lower bound on the candidates'
+    # common CLIP prefix, whose K/V are computed once at batch width.
+    # None disables. For span/parallel orders only chunk 0's prefix_len is
+    # used (single compiled body per iteration).
+    prefix_chunks: Optional[Tuple[Tuple[int, int], ...]] = None
+    # candidate rows per CLIP text pass: B*k batches beyond ~2-3k rows hit
+    # an XLA layout-copy regime (ROADMAP #1); larger batches are scanned in
+    # chunks of <= this many rows. 0 disables.
+    clip_row_chunk: int = 0
+    # host-exact candidate assembly: CLIP ids come from a pure host
+    # callback reproducing the reference's decode -> re-tokenize
+    # (gen_utils.py:75 + clip/clip.py:71-73) byte-exactly, including
+    # '##'-continuation merging the table bridge approximates
+    exact_bridge: bool = False
 
 
 class IterOut(NamedTuple):
     ids: jax.Array  # (B, S) snapshot after the iteration
     cosine: jax.Array  # (B,) clip cosine of the last committed candidate
     ctl_score: jax.Array  # (B,) control score of the last committed candidate
+
+
+def _encode_candidates(
+    spec: EngineSpec,
+    clip: CLIPModel,
+    params: Dict[str, Any],
+    clip_ids: jax.Array,
+    clip_mask: jax.Array,
+    prefix_len: int,
+) -> jax.Array:
+    """(B, k, L) candidate rows -> (B*k, D) text embeddings.
+
+    Applies the two engine-level FLOP/regime controls:
+      - exact prefix-KV reuse when ``prefix_len >= 2`` (the candidates'
+        common prefix is encoded once at B width);
+      - candidate-row chunking (``spec.clip_row_chunk``) — oversized
+        B*k batches are scanned in fixed-size chunks to stay out of the
+        XLA large-batch layout-copy regime.
+    """
+    B, k, L = clip_ids.shape
+    P = prefix_len if 2 <= prefix_len < spec.clip_len - 1 else 0
+
+    def encode(ids_bk, mask_bk):  # (B, kc, L) -> (B, kc, D)
+        kc = ids_bk.shape[1]
+        if P:
+            emb = clip.apply(
+                {"params": params["clip"]},
+                ids_bk[:, 0, :P],
+                ids_bk[:, :, P:],
+                mask_bk[:, :, P:],
+                method=CLIPModel.encode_text_shared_prefix,
+            )
+        else:
+            emb = clip.apply(
+                {"params": params["clip"]},
+                ids_bk.reshape(B * kc, L),
+                mask_bk.reshape(B * kc, L),
+                method=CLIPModel.encode_text,
+            )
+        return emb.reshape(B, kc, emb.shape[-1])
+
+    rc = spec.clip_row_chunk
+    if rc and B * k > rc:
+        kc = max(1, rc // B)
+        while k % kc:
+            kc -= 1
+        n = k // kc
+        if n > 1:
+            ids_c = clip_ids.reshape(B, n, kc, L).transpose(1, 0, 2, 3)
+            mask_c = clip_mask.reshape(B, n, kc, L).transpose(1, 0, 2, 3)
+            emb = jax.lax.map(lambda t: encode(*t), (ids_c, mask_c))
+            return emb.transpose(1, 0, 2, 3).reshape(B * k, -1)
+    return encode(clip_ids, clip_mask).reshape(B * k, -1)
 
 
 def _position_update(
@@ -81,14 +150,18 @@ def _position_update(
     pos: jax.Array,
     logits: jax.Array,
     token_mask: jax.Array,
+    prefix_len: int = 0,
+    host_bridge=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Score k candidates for ``pos`` and commit the argmax.
 
     base_ids: rows candidates are built from; commit_ids: rows the winner is
     written into (they differ only in parallel order, gen_utils.py:257-271).
     ``pos`` is a per-row (B,) vector — batch rows may polish different
-    positions (sample-fused schedules). Returns
-    (new_commit_ids, cosine_sel, ctl_sel).
+    positions (sample-fused schedules). ``prefix_len`` (static) is a proven
+    lower bound on the candidates' common CLIP-prefix length for this step
+    (0 disables prefix-KV reuse). Returns (new_commit_ids, cosine_sel,
+    ctl_sel).
     """
     B = base_ids.shape[0]
     k = spec.candidate_k
@@ -126,20 +199,26 @@ def _position_update(
 
     # CLIP scoring over the caption span (prompt + sentence, no CLS/SEP)
     inner = cand[:, :, 1 : spec.seq_len - 1]
-    clip_ids, clip_mask = assemble_clip_ids(
-        inner,
-        tables["bridge_ids"],
-        tables["bridge_lens"],
-        bos_id=spec.clip_bos_id,
-        eos_id=spec.clip_eos_id,
-        pad_id=spec.clip_pad_id,
-        clip_len=spec.clip_len,
-    )
-    text_embeds = clip.apply(
-        {"params": params["clip"]},
-        clip_ids.reshape(B * k, spec.clip_len),
-        clip_mask.reshape(B * k, spec.clip_len),
-        method=CLIPModel.encode_text,
+    if spec.exact_bridge:
+        # host-exact assembly: reference decode -> re-tokenize semantics
+        # (gen_utils.py:75 + clip/clip.py:71-73), '##' merging included
+        out_shape = jax.ShapeDtypeStruct((B, k, spec.clip_len), jnp.int32)
+        clip_ids, clip_mask = jax.pure_callback(
+            host_bridge, (out_shape, out_shape), inner
+        )
+        prefix_len = 0  # the table-based prefix bound does not apply
+    else:
+        clip_ids, clip_mask = assemble_clip_ids(
+            inner,
+            tables["bridge_ids"],
+            tables["bridge_lens"],
+            bos_id=spec.clip_bos_id,
+            eos_id=spec.clip_eos_id,
+            pad_id=spec.clip_pad_id,
+            clip_len=spec.clip_len,
+        )
+    text_embeds = _encode_candidates(
+        spec, clip, params, clip_ids, clip_mask, prefix_len
     )
     clip_probs, cosine = clip.apply(
         {"params": params["clip"]},
@@ -190,7 +269,8 @@ def _token_mask_for(spec: EngineSpec, tables, pos):
     )
 
 
-def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds):
+def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
+                host_bridge=None):
     """Returns iteration_fn(ids, schedule_row) -> (ids, cos, ctl)."""
 
     def fresh_logits(ids, pos):
@@ -208,25 +288,46 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds):
         return masked, logits
 
     update = functools.partial(
-        _position_update, spec, bert, clip, params, tables, hyper, image_embeds
+        _position_update, spec, bert, clip, params, tables, hyper,
+        image_embeds, host_bridge=host_bridge,
     )
 
     if spec.order_kind == "single":
 
-        def step(carry, pos):
-            ids, _, _ = carry
-            masked, logits = fresh_logits(ids, pos)
-            mask = _token_mask_for(spec, tables, pos)
-            new_ids, cos, ctl = update(masked, masked, pos, logits, mask)
-            return (new_ids, cos, ctl), None
+        def make_step(P):
+            def step(carry, pos):
+                ids, _, _ = carry
+                masked, logits = fresh_logits(ids, pos)
+                mask = _token_mask_for(spec, tables, pos)
+                new_ids, cos, ctl = update(
+                    masked, masked, pos, logits, mask, prefix_len=P
+                )
+                return (new_ids, cos, ctl), None
+
+            return step
+
+        chunks = spec.prefix_chunks
 
         def iteration(ids, row):
             B = ids.shape[0]
             z = jnp.zeros((B,), jnp.float32)
-            (ids, cos, ctl), _ = jax.lax.scan(step, (ids, z, z), row)
-            return ids, cos, ctl
+            carry = (ids, z, z)
+            if chunks is None:
+                carry, _ = jax.lax.scan(make_step(0), carry, row)
+            else:
+                off = 0
+                for P, n in chunks:
+                    carry, _ = jax.lax.scan(
+                        make_step(P), carry, row[off : off + n]
+                    )
+                    off += n
+            return carry
 
         return iteration
+
+    # span/parallel use one compiled body per iteration: only the
+    # order-independent prompt-prefix bound applies
+    P0 = spec.prefix_chunks[0][0] if spec.prefix_chunks else 0
 
     if spec.order_kind == "span":
 
@@ -255,7 +356,9 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds):
 
                 def do(ids):
                     mask = _token_mask_for(spec, tables, pos)
-                    return update(ids, ids, pos, logits_span[:, j], mask)
+                    return update(
+                        ids, ids, pos, logits_span[:, j], mask, prefix_len=P0
+                    )
 
                 new_ids, cos, ctl = jax.lax.cond(
                     j < size, do, lambda ids: (ids, cos0, ctl0), ids
@@ -299,7 +402,7 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds):
                 pos = jnp.full((B,), kk, jnp.int32)
                 new_ids, cos, ctl = update(
                     base, ids, pos, logits_all[:, kk],
-                    tables["mask_last"][None, :],
+                    tables["mask_last"][None, :], prefix_len=P0,
                 )
                 return (new_ids, cos, ctl), None
 
@@ -325,6 +428,7 @@ def run_generation(
     init_ids: jax.Array,
     schedule_positions: jax.Array,
     schedule_sizes: Optional[jax.Array],
+    host_bridge=None,
 ):
     """The full multi-iteration generation (jit this).
 
@@ -333,7 +437,10 @@ def run_generation(
     gen_utils.py:85-88: strictly-greater update on the per-iteration cosine,
     initialized at 0.
     """
-    iteration = _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds)
+    iteration = _make_sweep(
+        spec, bert, clip, params, tables, hyper, image_embeds,
+        host_bridge=host_bridge,
+    )
     B = init_ids.shape[0]
 
     def outer(carry, row):

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from conzic_tpu.models.configs import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
 from conzic_tpu.models.layers import LayerNorm, TransformerStack
-from conzic_tpu.ops.attention import make_attn_mask
+from conzic_tpu.ops.attention import make_attention_bias, make_attn_mask
 
 
 class CLIPTextTower(nn.Module):
@@ -41,7 +41,17 @@ class CLIPTextTower(nn.Module):
         self,
         input_ids: jax.Array,
         attention_mask: Optional[jax.Array] = None,
-    ) -> jax.Array:
+        *,
+        pos_offset: int = 0,
+        prefix_kvs: Optional[list] = None,
+        return_kvs: bool = False,
+    ):
+        """Standard full-row encode, or one side of the exact prefix-KV
+        split (engine/gibbs.py): ``return_kvs=True`` additionally returns
+        the per-layer attention K/V of this pass; ``prefix_kvs`` runs the
+        pass as a SUFFIX continuation — positions offset by ``pos_offset``
+        (static), every query attending the cached prefix keys plus the
+        causal suffix prefix."""
         cfg = self.config
         B, S = input_ids.shape
         x = nn.Embed(
@@ -53,9 +63,20 @@ class CLIPTextTower(nn.Module):
             (cfg.max_position_embeddings, cfg.hidden_size),
             jnp.float32,
         )
-        x = x + pos_table[:S].astype(self.dtype)[None, :, :]
-        bias = make_attn_mask(attention_mask, S, causal=True)
-        x = TransformerStack(
+        x = x + pos_table[pos_offset : pos_offset + S].astype(self.dtype)[None, :, :]
+        if prefix_kvs is not None:
+            # full-key-width additive bias: prefix keys unmasked (all real
+            # tokens preceding every suffix query) + causal/padding over the
+            # suffix keys
+            P = prefix_kvs[0][0].shape[1]
+            bias_suf = make_attention_bias(attention_mask, S, causal=True)
+            bias = jnp.concatenate(
+                [jnp.zeros((*bias_suf.shape[:-1], P), jnp.float32), bias_suf],
+                axis=-1,
+            )
+        else:
+            bias = make_attn_mask(attention_mask, S, causal=True)
+        stack = TransformerStack(
             num_layers=cfg.num_layers,
             num_heads=cfg.num_heads,
             head_dim=cfg.head_dim,
@@ -67,15 +88,22 @@ class CLIPTextTower(nn.Module):
             attn_impl=self.attn_impl,
             scan_layers=self.scan_layers,
             name="encoder",
-        )(x, bias)
+        )
+        kvs = None
+        if return_kvs:
+            x, kvs = stack(x, bias, return_kvs=True)
+        else:
+            x = stack(x, bias, prefix_kvs=prefix_kvs)
         x = LayerNorm(eps=cfg.layer_norm_eps, dtype=self.dtype, name="final_ln")(x)
         # Pool at the first EOS position (HF CLIP pools at argmax(ids), valid
         # because EOS is the highest id in the CLIP vocab; we use the explicit
         # first-EOS index which matches for right-padded sequences).
         is_eos = (input_ids == cfg.eos_token_id).astype(jnp.int32)
         eos_pos = jnp.argmax(is_eos, axis=1)  # first occurrence
-        pooled = jnp.take_along_axis(x, eos_pos[:, None, None], axis=1)
-        return pooled[:, 0, :]
+        pooled = jnp.take_along_axis(x, eos_pos[:, None, None], axis=1)[:, 0, :]
+        if return_kvs:
+            return pooled, kvs
+        return pooled
 
 
 class CLIPVisionTower(nn.Module):
@@ -183,6 +211,42 @@ class CLIPModel(nn.Module):
     ) -> jax.Array:
         """(N, S) ids -> (N, projection_dim). Reference: clip/clip.py:78-84."""
         return self.text_projection(self.text_model(input_ids, attention_mask))
+
+    def encode_text_shared_prefix(
+        self,
+        prefix_ids: jax.Array,
+        suffix_ids: jax.Array,
+        suffix_mask: jax.Array,
+    ) -> jax.Array:
+        """Exact prefix-KV candidate encoding (engine hot path).
+
+        All candidate rows of an image share ``prefix_ids`` (their common
+        CLIP prefix up to the edited word): its per-layer K/V are computed
+        once at image-batch width and shared by every candidate suffix.
+        With causal attention this is bit-for-bit the same function as
+        :meth:`encode_text` on the full rows — only cheaper (the reference
+        re-encodes every full candidate sentence per position,
+        /root/reference/gen_utils.py:76 + clip/clip.py:78-84).
+
+        Args:
+          prefix_ids: ``(B, P)`` shared prefix (starts with BOS; all real
+            tokens — the engine guarantees P precedes every row's EOS).
+          suffix_ids: ``(B, G, S)`` per-candidate continuation rows.
+          suffix_mask: ``(B, G, S)`` suffix attention mask (EOS inclusive).
+
+        Returns:
+          ``(B*G, projection_dim)`` text embeddings.
+        """
+        B, P = prefix_ids.shape
+        G, S = suffix_ids.shape[1], suffix_ids.shape[2]
+        _, kvs = self.text_model(prefix_ids, return_kvs=True)
+        pooled = self.text_model(
+            suffix_ids.reshape(B * G, S),
+            suffix_mask.reshape(B * G, S),
+            pos_offset=P,
+            prefix_kvs=kvs,
+        )
+        return self.text_projection(pooled)
 
     def similarity(
         self, image_embeds: jax.Array, text_embeds: jax.Array

@@ -122,7 +122,9 @@ class MultiHeadAttention(nn.Module):
         x: jax.Array,
         bias: Optional[jax.Array] = None,
         residual: Optional[jax.Array] = None,
-    ) -> jax.Array:
+        prefix_kv: Optional[tuple] = None,
+        return_kv: bool = False,
+    ):
         from conzic_tpu.ops.attention import AttnMask
 
         H, D = self.num_heads, self.head_dim
@@ -130,6 +132,8 @@ class MultiHeadAttention(nn.Module):
         use_block = (
             self.attn_impl == "pallas_block"
             and residual is not None
+            and prefix_kv is None
+            and not return_kv
             and jax.default_backend() == "tpu"
             # the kernel consumes lens/causal, not raw additive biases
             and (bias is None or isinstance(bias, AttnMask))
@@ -160,16 +164,41 @@ class MultiHeadAttention(nn.Module):
         q = dense("query")(x)
         k = dense("key")(x)
         v = dense("value")(x)
-        impl = self.attn_impl if self.attn_impl != "pallas_block" else "xla"
-        if isinstance(bias, AttnMask):
-            out = dot_product_attention(q, k, v, mask=bias, impl=impl)
+        if prefix_kv is not None:
+            # shared-prefix attention: x is (B*G, S, E); prefix K/V are
+            # (B, P, H, D), shared by the G candidate rows of each image.
+            # Broadcast + concat onto the key axis and reuse the standard
+            # attention path — one layout throughout (the 5-D grouped
+            # einsum formulation measured 30% device time in copies).
+            # The caller provides ``bias`` already at full key width
+            # (prefix keys unmasked).
+            pk, pv = prefix_kv
+            B, P = pk.shape[0], pk.shape[1]
+            N = q.shape[0]
+            G = N // B
+            pk_b = jnp.broadcast_to(
+                pk.astype(k.dtype)[:, None], (B, G, P, H, D)
+            ).reshape(N, P, H, D)
+            pv_b = jnp.broadcast_to(
+                pv.astype(v.dtype)[:, None], (B, G, P, H, D)
+            ).reshape(N, P, H, D)
+            k = jnp.concatenate([pk_b, k], axis=1)
+            v = jnp.concatenate([pv_b, v], axis=1)
+            raw_bias = bias.bias if isinstance(bias, AttnMask) else bias
+            out = dot_product_attention(q, k, v, bias=raw_bias)
         else:
-            out = dot_product_attention(q, k, v, bias=bias, impl=impl)
+            impl = self.attn_impl if self.attn_impl != "pallas_block" else "xla"
+            if isinstance(bias, AttnMask):
+                out = dot_product_attention(q, k, v, mask=bias, impl=impl)
+            else:
+                out = dot_product_attention(q, k, v, bias=bias, impl=impl)
         out = nn.DenseGeneral(
             features=E, axis=(-2, -1), dtype=self.dtype, name="out"
         )(out)
         if residual is not None:
             out = out + residual
+        if return_kv:
+            return out, (k, v)
         return out
 
 
@@ -205,7 +234,11 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, bias: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        bias: Optional[jax.Array] = None,
+        prefix_kv: Optional[tuple] = None,
+        return_kv: bool = False,
     ):
         hidden = self.num_heads * self.head_dim
         attn = MultiHeadAttention(
@@ -225,14 +258,24 @@ class TransformerBlock(nn.Module):
         ln1 = LayerNorm(eps=self.eps, dtype=self.dtype, name="ln1")
         ln2 = LayerNorm(eps=self.eps, dtype=self.dtype, name="ln2")
 
+        kv = None
         if self.pre_ln:
-            x = attn(ln1(x), bias, residual=x)
+            a = attn(ln1(x), bias, residual=x,
+                     prefix_kv=prefix_kv, return_kv=return_kv)
+            x = a[0] if return_kv else a
+            kv = a[1] if return_kv else None
             x = x + mlp(ln2(x))
         else:
-            x = ln1(attn(x, bias, residual=x))
+            a = attn(x, bias, residual=x,
+                     prefix_kv=prefix_kv, return_kv=return_kv)
+            x = a[0] if return_kv else a
+            kv = a[1] if return_kv else None
+            x = ln1(x)
             x = ln2(x + mlp(x))
         if self.as_scan_body:
             return x, None
+        if return_kv:
+            return x, kv
         return x
 
 
@@ -260,8 +303,12 @@ class TransformerStack(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, bias: Optional[jax.Array] = None
-    ) -> jax.Array:
+        self,
+        x: jax.Array,
+        bias: Optional[jax.Array] = None,
+        prefix_kvs: Optional[list] = None,
+        return_kvs: bool = False,
+    ):
         kw = dict(
             num_heads=self.num_heads,
             head_dim=self.head_dim,
@@ -273,6 +320,9 @@ class TransformerStack(nn.Module):
             attn_impl=self.attn_impl,
         )
         if self.scan_layers:
+            assert prefix_kvs is None and not return_kvs, (
+                "prefix-KV reuse requires scan_layers=False"
+            )
             scanned = nn.scan(
                 TransformerBlock,
                 variable_axes={"params": 0},
@@ -282,6 +332,15 @@ class TransformerStack(nn.Module):
             )
             x, _ = scanned(as_scan_body=True, name="layers", **kw)(x, bias)
             return x
+        kvs = []
         for i in range(self.num_layers):
-            x = TransformerBlock(name=f"layer_{i}", **kw)(x, bias)
+            block = TransformerBlock(name=f"layer_{i}", **kw)
+            pkv = prefix_kvs[i] if prefix_kvs is not None else None
+            if return_kvs:
+                x, kv = block(x, bias, prefix_kv=pkv, return_kv=True)
+                kvs.append(kv)
+            else:
+                x = block(x, bias, prefix_kv=pkv)
+        if return_kvs:
+            return x, kvs
         return x

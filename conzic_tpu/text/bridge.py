@@ -143,31 +143,40 @@ def assemble_clip_ids(
     P = bert_ids.shape[-1]
     flat = bert_ids.reshape(-1, P)
 
+    # Gather formulation: each OUTPUT slot finds which (word, piece) lands
+    # there — int32 scatters lower to the TPU scalar core (measured 1.3
+    # ms/position, the most expensive single op in the hot loop); compares
+    # + gathers are pure vector work.
     def one_row(row: jax.Array):
         pieces = bridge_ids[row]  # (P, M)
         lens = bridge_lens[row]  # (P,)
         M = pieces.shape[-1]
-        offs = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens)[:-1]]
-        )  # (P,)
-        total = jnp.sum(lens)
-        # target slot for piece (p, m): 1 + offs[p] + m  (slot 0 is BOS)
-        m_idx = jax.lax.broadcasted_iota(jnp.int32, (P, M), 1)
-        targets = 1 + offs[:, None] + m_idx
-        valid = m_idx < lens[:, None]
-        # invalid or overflowing writes are dropped (sent out of range)
-        targets = jnp.where(valid, targets, clip_len + 1)
-        targets = jnp.minimum(targets, clip_len + 1)
-        out = jnp.full((clip_len + 2,), pad_id, jnp.int32)
-        out = out.at[0].set(bos_id)
-        out = out.at[targets.reshape(-1)].set(
-            pieces.reshape(-1), mode="drop"
+        ends = jnp.cumsum(lens)  # (P,) piece-space end of each word
+        offs = ends - lens  # (P,) piece-space start of each word
+        total = ends[-1]
+        j = jax.lax.broadcasted_iota(jnp.int32, (clip_len,), 0)
+        jw = j - 1  # piece-space index (slot 0 is BOS)
+        # word covering piece jw = first word whose end exceeds jw
+        # (zero-length words have end == start and are skipped)
+        p_j = jnp.sum(
+            (ends[None, :] <= jw[:, None]).astype(jnp.int32), axis=1
         )
+        p_j = jnp.minimum(p_j, P - 1)
+        m_j = jnp.clip(jw - offs[p_j], 0, M - 1)
+        val = pieces[p_j, m_j]  # (clip_len,) vectorized gather
         eos_pos = jnp.minimum(1 + total, clip_len - 1)
-        out = out.at[eos_pos].set(eos_id)
-        out = out[:clip_len]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (clip_len, 1), 0)[:, 0]
-        mask = (pos <= eos_pos).astype(jnp.int32)
+        out = jnp.where(
+            j == 0,
+            bos_id,
+            jnp.where(
+                j == eos_pos,
+                eos_id,
+                jnp.where(
+                    (jw >= 0) & (jw < total) & (j < eos_pos), val, pad_id
+                ),
+            ),
+        ).astype(jnp.int32)
+        mask = (j <= eos_pos).astype(jnp.int32)
         return out, mask
 
     ids, mask = jax.vmap(one_row)(flat)
