@@ -25,7 +25,11 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_ALPHA_RE = re.compile(r"^[a-z]+$", re.IGNORECASE)
+# Explicit ASCII ranges, NOT re.IGNORECASE: Unicode case-folding makes
+# [a-z]+ with IGNORECASE match 'ı' (U+0131, in the reference's
+# stop_words.txt) and 'ſ' (U+017F) — tests/test_tokenizers.py pins the
+# rule-derived ban set against /root/reference/stop_words.txt.
+_ALPHA_RE = re.compile(r"^[a-zA-Z]+$")
 
 
 def token_body(token: str) -> str:

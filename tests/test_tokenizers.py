@@ -143,3 +143,58 @@ def test_stop_words_file_exact_mode(tmp_path):
     # everything else untouched except the '.' rule
     assert mask_mid[vocab["cat"]] == 1.0
     assert mask_mid[vocab["."]] == 0.0 and mask_last[vocab["."]] == 1.0
+
+
+REFERENCE_STOP_WORDS = "/root/reference/stop_words.txt"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_STOP_WORDS),
+    reason="reference stop_words.txt not mounted",
+)
+def test_rule_derived_mask_matches_reference_stop_words_file():
+    """The rule-derived ban set (vocab.py is_word_token) reproduces the
+    reference's stop_words.txt (demo.py:134-143) exactly on a vocabulary
+    containing every file token.
+
+    Known residue, asserted precisely: the rule additionally bans the five
+    BERT special tokens (the reference file omits them; BERT never proposes
+    them over real text, and the file-loader path exists for verbatim
+    parity) and '.' — which build_token_masks re-allows at the final slot
+    (utils.py:53-59 semantics), identically for both paths.
+    """
+    from conzic_tpu.text.vocab import build_stop_ids, load_stop_words_file
+
+    file_words = load_stop_words_file(REFERENCE_STOP_WORDS)
+    assert len(file_words) == 2835  # pin the artifact we validate against
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    words = ["image", "of", "a", "girl", "dog", "beautiful", "##ing", "##s"]
+    vocab: dict = {}
+    for tok in specials + sorted(set(file_words)) + words + ["."]:
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+
+    rule_ids = set(build_stop_ids(vocab))
+    file_ids = set(build_stop_ids(vocab, stop_words=file_words))
+
+    # every token the reference bans, the rule bans
+    assert file_ids <= rule_ids
+    # and the rule bans nothing else on this vocab but the documented residue
+    residue = {vocab[t] for t in specials} | {vocab["."]}
+    assert rule_ids - file_ids == residue - file_ids
+
+    # the built masks agree everywhere outside the residue, for both the
+    # mid-sentence and final-position ('.') variants
+    mask_mid_rule, mask_last_rule = build_token_masks(vocab)
+    mask_mid_file, mask_last_file = build_token_masks(vocab, stop_words=file_words)
+    diff_mid = np.nonzero(mask_mid_rule != mask_mid_file)[0]
+    diff_last = np.nonzero(mask_last_rule != mask_last_file)[0]
+    allowed_diff = {vocab[t] for t in specials} - file_ids
+    assert set(diff_mid.tolist()) <= allowed_diff
+    assert set(diff_last.tolist()) <= allowed_diff
+    # caption words and sub-word pieces stay usable in both
+    for w in words:
+        assert mask_mid_rule[vocab[w]] == 1.0 == mask_mid_file[vocab[w]], w
+    # the '.' rule is applied identically by both paths
+    assert mask_mid_rule[vocab["."]] == 0.0 == mask_mid_file[vocab["."]]
+    assert mask_last_rule[vocab["."]] == 1.0 == mask_last_file[vocab["."]]
