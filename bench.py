@@ -32,6 +32,11 @@ ITERS = int(os.environ.get("CONZIC_BENCH_ITERS", "15"))
 K = int(os.environ.get("CONZIC_BENCH_K", "200"))
 BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "4"))
 PRUNE = int(os.environ.get("CONZIC_BENCH_PRUNE", "0")) or None
+CLIP_LEN = int(os.environ.get("CONZIC_BENCH_CLIP_LEN", "24"))
+ATTN = os.environ.get("CONZIC_BENCH_ATTN", "xla")
+PARAM_DTYPE = os.environ.get("CONZIC_BENCH_PARAM_DTYPE", "bfloat16")
+KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
+ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "1600"))
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 PROMPT = "Image of a"
 
@@ -50,8 +55,16 @@ def build_captioner():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from conzic_tpu.config import ConzicConfig
+
     on_tpu = jax.default_backend() == "tpu"
+    cfg = ConzicConfig()
+    cfg.attn_impl = ATTN
+    cfg.param_dtype = PARAM_DTYPE if on_tpu else "float32"
+    cfg.kv_chunk_size = KV_CHUNK
+    cfg.clip_row_chunk = ROW_CHUNK
     return Captioner.from_random(
+        config=cfg,
         bert_config=BertConfig(),
         clip_config=CLIPConfig(),
         wp_vocab=make_fullsize_wordpiece_vocab(),
@@ -66,7 +79,7 @@ def bench_ours() -> float:
 
     cap = build_captioner()
     cap.cfg.verbose = False
-    cap.cfg.clip_len = 24  # tight context for len=10 (see ROADMAP/PARITY)
+    cap.cfg.clip_len = CLIP_LEN  # tight context for len=10 (see ROADMAP/PARITY)
     rng = np.random.RandomState(0)
     image_embeds = jnp.asarray(
         rng.randn(BATCH, cap.clip_model.config.projection_dim).astype(np.float32)

@@ -66,6 +66,25 @@ def make_demo_fn(captioner, cfg: ConzicConfig):
     return demo
 
 
+def control_widgets_visible(run_type: str) -> bool:
+    """Control-type widgets appear only for controllable runs
+    (reference RunTypeChange, app.py:185-190)."""
+    return run_type == "controllable"
+
+
+def sentiment_widget_visible(control_type: str) -> bool:
+    """Sentiment radio appears only for sentiment control
+    (reference ControlTypeChange, app.py:192-196)."""
+    return control_type == "sentiment"
+
+
+def reset_values():
+    """Widget defaults for the Reset button (reference app.py:264-277)."""
+    d = ConzicConfig()
+    return ("caption", "sentiment", "positive", "shuffle",
+            "Image of a", 10, 10, 2, d.alpha, d.beta, d.gamma)
+
+
 def build_ui(captioner, cfg: ConzicConfig):
     import gradio as gr
 
@@ -108,13 +127,13 @@ def build_ui(captioner, cfg: ConzicConfig):
                                       placeholder="Best Caption")
 
         def on_run_type(rt):
-            vis = rt == "controllable"
+            vis = control_widgets_visible(rt)
             return gr.update(visible=vis), gr.update(visible=vis)
 
         run_type.change(on_run_type, [run_type], [control_type, sentiment_type])
 
         def on_control_type(ct):
-            return gr.update(visible=ct == "sentiment")
+            return gr.update(visible=sentiment_widget_visible(ct))
 
         control_type.change(on_control_type, [control_type], [sentiment_type])
         submit.click(
@@ -126,9 +145,7 @@ def build_ui(captioner, cfg: ConzicConfig):
         )
 
         def on_reset():
-            d = ConzicConfig()
-            return ("caption", "sentiment", "positive", "shuffle",
-                    "Image of a", 10, 10, 2, d.alpha, d.beta, d.gamma)
+            return reset_values()
 
         reset.click(
             on_reset, [],

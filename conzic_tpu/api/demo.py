@@ -28,11 +28,26 @@ from conzic_tpu.runtime.logging import create_logger, run_log_filename
 from conzic_tpu.runtime.seeding import set_seed
 
 
-def build_captioner(cfg, random_models: bool = False, mesh=None) -> Captioner:
+def build_mesh(cfg):
+    """1-D data mesh over ``--mesh_data_axis`` devices (the production
+    scale-out layout: captions are embarrassingly parallel over
+    images x samples, SURVEY.md §2.3). 1 = single device (no mesh);
+    0/negative = all visible devices."""
+    if cfg.mesh_data_axis == 1:
+        return None
+    from conzic_tpu.parallel import mesh as mesh_lib
+
+    n = cfg.mesh_data_axis if cfg.mesh_data_axis > 0 else None
+    return mesh_lib.make_mesh(n)
+
+
+def build_captioner(cfg, random_models=False, mesh=None) -> Captioner:
     if random_models:
         from conzic_tpu.models.configs import BertConfig, CLIPConfig
         from conzic_tpu.text.vocab import make_fullsize_wordpiece_vocab
 
+        if random_models == "tiny":  # fast smoke runs / CI drives
+            return Captioner.from_random(cfg, seed=cfg.seed, mesh=mesh)
         return Captioner.from_random(
             cfg,
             bert_config=BertConfig(),
@@ -117,7 +132,10 @@ def run_control(cfg, image_path, captioner, logger, rng):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_reference_args(parser)
-    parser.add_argument("--random_models", action="store_true")
+    parser.add_argument("--random_models", nargs="?", const="full",
+                        choices=["full", "tiny"], default=False,
+                        help="deterministic random-init models instead of "
+                             "checkpoints; 'tiny' uses small test towers")
     parser.add_argument("--no_fuse_samples", action="store_true",
                         help="run samples as a sequential loop instead of "
                              "fused batch lanes (same results either way)")
@@ -136,7 +154,9 @@ def main(argv=None):
     if not os.path.exists(cfg.caption_img_path):
         sys.exit(f"image not found: {cfg.caption_img_path!r}")
 
-    captioner = build_captioner(cfg, random_models=args.random_models)
+    captioner = build_captioner(
+        cfg, random_models=args.random_models, mesh=build_mesh(cfg)
+    )
     if cfg.run_type == "caption":
         run_caption(cfg, cfg.caption_img_path, captioner, logger, rng,
                     fuse_samples=not args.no_fuse_samples)

@@ -80,7 +80,10 @@ def save_results(cfg, run_type, all_results, sample_id):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_reference_args(parser)
-    parser.add_argument("--random_models", action="store_true")
+    parser.add_argument("--random_models", nargs="?", const="full",
+                        choices=["full", "tiny"], default=False,
+                        help="deterministic random-init models instead of "
+                             "checkpoints; 'tiny' uses small test towers")
     parser.set_defaults(batch_size=2, caption_img_path="./examples/")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
@@ -99,7 +102,11 @@ def main(argv=None):
 
         sys.exit(f"image directory not found: {cfg.caption_img_path!r}")
 
-    captioner = build_captioner(cfg, random_models=args.random_models)
+    from conzic_tpu.api.demo import build_mesh
+
+    captioner = build_captioner(
+        cfg, random_models=args.random_models, mesh=build_mesh(cfg)
+    )
 
     for sample_id in range(cfg.samples_num):
         all_results = [None] * (cfg.num_iterations + 1)

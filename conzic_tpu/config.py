@@ -48,6 +48,24 @@ class ConzicConfig:
 
     # --- rebuild-specific knobs ------------------------------------------
     dtype: str = "bfloat16"  # compute dtype on TPU; "float32" for parity
+    param_dtype: str = "float32"  # "bfloat16" halves weight HBM traffic
+    # candidate CLIP-id assembly: "table" = on-device BERT-id->CLIP-id
+    # bridge (fast; '##' continuations bridged as word starts — see
+    # PARITY.md); "exact" = host callback reproducing the reference's
+    # decode -> re-tokenize byte-exactly (gen_utils.py:75, clip/clip.py:71)
+    bridge_mode: str = "table"
+    # exact prefix-KV reuse: candidate sentences share their CLIP prefix up
+    # to the edited word; chunking the position scan gives each chunk a
+    # static prefix length whose K/V are computed once at batch width
+    # instead of batch*k (see engine/gibbs.py). 0 disables. Measured: ONE
+    # chunk (size >= sentence_len, prompt-only prefix) is fastest — extra
+    # chunk bodies cost more in XLA scan-boundary copies than their deeper
+    # prefixes save (ROADMAP r2 notes).
+    kv_chunk_size: int = 16
+    # candidate CLIP rows per text-tower pass: batches beyond ~2-3k rows hit
+    # an XLA regime with heavy layout copies (ROADMAP #1); larger B*k
+    # batches are scanned in chunks of this many rows. 0 disables chunking.
+    clip_row_chunk: int = 1600
     clip_len: int = 32  # static CLIP context (<=77); 77 = reference max
     attn_impl: str = "xla"  # xla | pallas
     mesh_data_axis: int = 1  # chips to shard the (images x samples) batch over
@@ -98,6 +116,10 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
     # rebuild knobs
     p.add_argument("--dtype", type=str, default=d.dtype,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--param_dtype", type=str, default=d.param_dtype,
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--kv_chunk_size", type=int, default=d.kv_chunk_size)
+    p.add_argument("--clip_row_chunk", type=int, default=d.clip_row_chunk)
     p.add_argument("--clip_len", type=int, default=d.clip_len)
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
                    choices=["xla", "pallas"])

@@ -78,6 +78,20 @@ def random_params_like(init_fn, seed: int, *example_inputs):
     return jax.jit(produce)(jax.random.PRNGKey(seed))
 
 
+def cast_params_dtype(params, dtype):
+    """Cast float32 param leaves to ``dtype`` for storage (halves weight HBM
+    reads in the hot loop). ``logit_scale`` stays fp32 — ``similarity``
+    exponentiates it in fp32 (clip/clip.py:95 semantics)."""
+
+    def fill(path, leaf):
+        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        if name.endswith("logit_scale") or leaf.dtype != jnp.float32:
+            return leaf
+        return leaf.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, params)
+
+
 @dataclasses.dataclass
 class GenerationResult:
     gen_texts_list: List[List[str]]  # per-iteration captions + best at [-1]
@@ -120,6 +134,14 @@ class Captioner:
         )
         bridge = build_bridge_table(wp, bpe)
         self.bridge = bridge
+        # prefix-KV safety: the committed-words-each-add->=1-CLIP-piece
+        # argument (engine/gibbs.py prefix_chunks) requires that no
+        # selectable token bridges to zero pieces; with the rule-derived
+        # mask this always holds (specials are banned), but a user-supplied
+        # stop-words file may leave zero-piece tokens selectable
+        self._mask_allows_empty_piece = bool(
+            (((mask_mid > 0) | (mask_last > 0)) & (bridge.lens == 0)).any()
+        )
         # control-energy tables (senti/pos/template) are built lazily on the
         # first controlled run: plain captioning never needs them, and exact
         # (NLTK) mode pays 30k taggings per construction
@@ -130,6 +152,8 @@ class Captioner:
             "bridge_lens": jnp.asarray(bridge.lens),
         }
         params = {"bert": bert_params, "clip": clip_params}
+        if self.cfg.param_dtype == "bfloat16":
+            params = cast_params_dtype(params, jnp.bfloat16)
         self.tables = mesh_lib.replicate(mesh, tables)
         self.params = mesh_lib.shard_params(
             mesh, jax.tree.map(jnp.asarray, params)
@@ -273,8 +297,19 @@ class Captioner:
             pixels = np.asarray(images, np.float32)
             if pixels.ndim == 3:
                 pixels = pixels[None]
-        pixels = mesh_lib.shard_batch(self.mesh, jnp.asarray(pixels))
-        return self._encode_image_jit(self.params["clip"], pixels)
+        pixels = jnp.asarray(pixels)
+        B = pixels.shape[0]
+        pad = 0
+        if self.mesh is not None:
+            n_data = dict(
+                zip(self.mesh.axis_names, self.mesh.devices.shape)
+            ).get(mesh_lib.DATA_AXIS, 1)
+            pad = (-B) % n_data
+        if pad:  # ragged batch: pad to the mesh, slice the result back
+            pixels = jnp.concatenate([pixels] + [pixels[-1:]] * pad, axis=0)
+        pixels = mesh_lib.shard_batch(self.mesh, pixels)
+        emb = self._encode_image_jit(self.params["clip"], pixels)
+        return emb[:B] if pad else emb
 
     def init_ids(self, prompt: str, max_len: int, batch_size: int) -> np.ndarray:
         """[CLS] prompt [MASK]*L [SEP], replicated (utils.py:46-51)."""
@@ -352,8 +387,61 @@ class Captioner:
             self.mesh, jnp.asarray(emb)
         )
 
+    def _prefix_chunks(self, order, order_kind, init_row, seed_len, max_len):
+        """Static ((prefix_len, n_steps), ...) chunking for exact prefix-KV
+        reuse (engine/gibbs.py). The bound for a step is 1 (BOS) + the CLIP
+        pieces of the prompt + the number of sentence words guaranteed
+        committed before the edited position across every iteration/row
+        sharing the compiled body (sequential: the position index itself;
+        all other orders: 0)."""
+        if self.cfg.kv_chunk_size <= 0:
+            return None
+        lens = np.asarray(self.bridge.lens)
+        prompt_ids = np.asarray(init_row[0][1:seed_len])
+        if prompt_ids.size and (lens[prompt_ids] <= 0).any():
+            return None  # prompt itself bridges to nothing provable
+        base = 1 + int(lens[prompt_ids].sum())
+        per_word = 0 if self._mask_allows_empty_piece else 1
+        if order_kind != "single" or order != "sequential" or per_word == 0:
+            return ((base, max_len),)
+        sz = self.cfg.kv_chunk_size
+        chunks = []
+        for start in range(0, max_len, sz):
+            n = min(sz, max_len - start)
+            chunks.append((base + start * per_word, n))
+        return tuple(chunks)
+
+    def _get_host_bridge(self, clip_len: int):
+        """Memoized host callback for ``bridge_mode="exact"``: the
+        reference's decode -> re-tokenize per candidate row
+        (gen_utils.py:75 + clip/clip.py:71-73)."""
+        cache = getattr(self, "_host_bridge_cache", None)
+        if cache is None:
+            cache = self._host_bridge_cache = {}
+        fn = cache.get(clip_len)
+        if fn is None:
+            decoder, bpe = self._decoder, self.bpe
+
+            def host_bridge(inner):
+                inner = np.asarray(inner)
+                B, k, P = inner.shape
+                texts = decoder.batch_decode(
+                    inner.reshape(B * k, P), skip_special_tokens=True
+                )
+                ids, mask = bpe.batch_encode(
+                    texts, max_length=clip_len, pad_to_max=True
+                )
+                return (
+                    np.asarray(ids, np.int32).reshape(B, k, clip_len),
+                    np.asarray(mask, np.int32).reshape(B, k, clip_len),
+                )
+
+            fn = cache[clip_len] = host_bridge
+        return fn
+
     def _spec(self, seed_len, max_len, top_k, order_kind, ctl, negative,
-              prune_k=None) -> EngineSpec:
+              prune_k=None, prefix_chunks=None) -> EngineSpec:
+        exact = self.cfg.bridge_mode == "exact"
         return EngineSpec(
             seed_len=seed_len,
             sentence_len=max_len,
@@ -368,14 +456,23 @@ class Captioner:
             negative=negative,
             order_kind=order_kind,
             prune_k=prune_k,
+            prefix_chunks=None if exact else prefix_chunks,
+            clip_row_chunk=self.cfg.clip_row_chunk,
+            exact_bridge=exact,
         )
 
     def _compiled(self, spec: EngineSpec):
         fn = self._jit_cache.get(spec)
         if fn is None:
+            host_bridge = (
+                self._get_host_bridge(spec.clip_len)
+                if spec.exact_bridge
+                else None
+            )
             fn = jax.jit(
                 functools.partial(
-                    run_generation, spec, self.bert_model, self.clip_model
+                    run_generation, spec, self.bert_model, self.clip_model,
+                    host_bridge=host_bridge,
                 )
             )
             self._jit_cache[spec] = fn
@@ -432,9 +529,13 @@ class Captioner:
                     ),
                 }
         init_row = self.init_ids(prompt, max_len, 1)
+        seed_len = init_row.shape[1] - max_len - 1
         spec = self._spec(
-            init_row.shape[1] - max_len - 1, max_len, top_k,
+            seed_len, max_len, top_k,
             sched.kind, ctl, negative, prune_k=prune_k,
+            prefix_chunks=self._prefix_chunks(
+                order, sched.kind, init_row, seed_len, max_len
+            ),
         )
         B0 = int(image_embeds.shape[0])
         B = B0 * n_samples
@@ -453,28 +554,48 @@ class Captioner:
         }
         if sched.kind == "single":
             # (I, steps, B): per-row positions, sample-major blocks
-            positions = jnp.asarray(
-                np.concatenate(
-                    [np.repeat(s.positions[:, :, None], B0, axis=2) for s in scheds],
-                    axis=2,
-                )
+            positions = np.concatenate(
+                [np.repeat(s.positions[:, :, None], B0, axis=2) for s in scheds],
+                axis=2,
             )
         else:
             # span/parallel schedules carry no randomness: shared across rows
-            positions = jnp.asarray(sched.positions)
+            positions = sched.positions
+        # ragged batches on a mesh: pad rows to the data-axis size with
+        # copies of the last lane, sliced off after the run
+        pad_rows = 0
+        if self.mesh is not None:
+            n_data = dict(
+                zip(self.mesh.axis_names, self.mesh.devices.shape)
+            ).get(mesh_lib.DATA_AXIS, 1)
+            pad_rows = (-B) % n_data
+        if pad_rows:
+            image_embeds = jnp.concatenate(
+                [image_embeds] + [image_embeds[-1:]] * pad_rows, axis=0
+            )
+            init = np.concatenate(
+                [init, np.repeat(init[-1:], pad_rows, axis=0)], axis=0
+            )
+            if sched.kind == "single":
+                positions = np.concatenate(
+                    [positions, np.repeat(positions[:, :, -1:], pad_rows, axis=2)],
+                    axis=2,
+                )
+        positions = jnp.asarray(positions)
         sizes = jnp.asarray(sched.span_sizes) if sched.span_sizes is not None else None
         init_dev = mesh_lib.shard_batch(self.mesh, jnp.asarray(init))
+        image_embeds = mesh_lib.shard_batch(self.mesh, image_embeds)
 
         t0 = time.time()
         iter_ids, iter_cos, iter_ctl, best_ids, best_cos = self._compiled(spec)(
             self.params, tables, hyper, image_embeds, init_dev,
             positions, sizes,
         )
-        iter_ids = np.asarray(iter_ids)
-        iter_cos = np.asarray(iter_cos)
-        iter_ctl = np.asarray(iter_ctl)
-        best_ids = np.asarray(best_ids)
-        best_cos = np.asarray(best_cos)
+        iter_ids = np.asarray(iter_ids)[:, :B]
+        iter_cos = np.asarray(iter_cos)[:, :B]
+        iter_ctl = np.asarray(iter_ctl)[:, :B]
+        best_ids = np.asarray(best_ids)[:B]
+        best_cos = np.asarray(best_cos)[:B]
         elapsed = time.time() - t0
 
         gen_texts_list: List[List[str]] = []

