@@ -1,21 +1,26 @@
 #!/usr/bin/env python
-"""Quality check for the two-stage candidate-pruning mode.
+"""Quality matrix for the two-stage candidate-pruning mode.
 
 Runs the same generations with full scoring (reference semantics) and with
-``prune_k`` pre-selection, then reports:
+``prune_k`` pre-selection across a (order x control x prune_k) matrix and
+reports, per cell:
   - caption agreement (exact-match rate of final captions),
   - token agreement (fraction of committed sentence tokens equal),
-  - CLIPScore delta (mean best-cosine difference).
+  - CLIPScore delta (mean best-cosine difference, full - pruned).
 
 With real checkpoints (``--lm_model/--match_model`` dirs) this quantifies
 the speed/quality trade; with ``--random_models`` it sanity-checks proxy
-ordering only (random weights carry no semantics).
+ordering only (random weights carry no semantics — the committed
+PRUNING_MATRIX.json records which weights produced it).
 
 Usage:
-  python tools/validate_pruning.py --random_models --prune_k 40 --n_images 4
+  python tools/validate_pruning.py --random_models --prune_k 40      # one cell
+  python tools/validate_pruning.py --random_models --matrix          # full matrix
+  python tools/validate_pruning.py --random_models tiny --matrix     # CPU-fast
 """
 
 import argparse
+import json
 import os
 import sys
 
@@ -23,18 +28,52 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+MATRIX_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "PRUNING_MATRIX.json",
+)
+
+
+def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k):
+    runs = {}
+    for name, pk in (("full", None), ("pruned", prune_k)):
+        runs[name] = cap.run(
+            embeds, prompt="Image of a", max_len=sentence_len,
+            top_k=k, temperature=0.1, max_iter=iters,
+            alpha=0.02, beta=2.0, gamma=5.0 if ctl else 0.0,
+            order=order, ctl=ctl, negative=False,
+            rng=np.random.RandomState(42), prune_k=pk,
+        )
+    full, pruned = runs["full"], runs["pruned"]
+    finals_f = full.gen_texts_list[-2]
+    finals_p = pruned.gen_texts_list[-2]
+    exact = float(np.mean([a == b for a, b in zip(finals_f, finals_p)]))
+    tok_agree = float((full.iter_ids[-1] == pruned.iter_ids[-1]).mean())
+    cos_delta = float(np.mean(full.best_cos - pruned.best_cos))
+    return {
+        "caption_exact": exact,
+        "token_agreement": tok_agree,
+        "best_cosine_delta": cos_delta,
+        "speedup": full.elapsed_s / max(pruned.elapsed_s, 1e-9),
+    }
+
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--lm_model", default="bert-base-uncased")
     p.add_argument("--match_model", default="openai/clip-vit-base-patch32")
-    p.add_argument("--random_models", action="store_true")
+    p.add_argument("--random_models", nargs="?", const="full",
+                   choices=["full", "tiny"], default=False)
     p.add_argument("--prune_k", type=int, default=40)
+    p.add_argument("--matrix", action="store_true",
+                   help="sweep orders x controls x prune_k and write "
+                        "PRUNING_MATRIX.json")
     p.add_argument("--n_images", type=int, default=4)
     p.add_argument("--sentence_len", type=int, default=10)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--k", type=int, default=200)
     p.add_argument("--clip_len", type=int, default=24)
+    p.add_argument("--out", default=MATRIX_PATH)
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -56,30 +95,45 @@ def main():
             np.float32
         )
     )
-    runs = {}
-    for name, pk in (("full", None), ("pruned", args.prune_k)):
-        runs[name] = cap.run(
-            embeds, prompt="Image of a", max_len=args.sentence_len,
-            top_k=args.k, temperature=0.1, max_iter=args.iters,
-            alpha=0.02, beta=2.0, order="sequential",
-            rng=np.random.RandomState(42), prune_k=pk,
-        )
-        print(f"{name}: {args.n_images / runs[name].elapsed_s:.2f} caps/s",
-              flush=True)
+    common = dict(sentence_len=args.sentence_len, iters=args.iters, k=args.k)
 
-    full, pruned = runs["full"], runs["pruned"]
-    finals_f = full.gen_texts_list[-2]
-    finals_p = pruned.gen_texts_list[-2]
-    exact = np.mean([a == b for a, b in zip(finals_f, finals_p)])
-    tok_f = full.iter_ids[-1]
-    tok_p = pruned.iter_ids[-1]
-    tok_agree = float((tok_f == tok_p).mean())
-    cos_delta = float(np.mean(full.best_cos - pruned.best_cos))
-    print(f"caption exact-match: {exact:.2%}")
-    print(f"token agreement:     {tok_agree:.2%}")
-    print(f"best-cosine delta (full - pruned): {cos_delta:+.4f}")
-    speedup = full.elapsed_s / pruned.elapsed_s
-    print(f"speedup: {speedup:.2f}x")
+    if not args.matrix:
+        cell = run_cell(cap, embeds, order="sequential", ctl=None,
+                        prune_k=args.prune_k, **common)
+        print(f"caption exact-match: {cell['caption_exact']:.2%}")
+        print(f"token agreement:     {cell['token_agreement']:.2%}")
+        print(f"best-cosine delta (full - pruned): "
+              f"{cell['best_cosine_delta']:+.4f}")
+        print(f"speedup: {cell['speedup']:.2f}x")
+        return
+
+    cells = {}
+    # prune_k sweep on the headline order, plus every order and both
+    # control modes at the default prune_k (VERDICT r1 item 8)
+    jobs = [("sequential", None, pk) for pk in (20, 40, 80)]
+    jobs += [(o, None, args.prune_k) for o in ("shuffle", "span", "random")]
+    jobs += [("sequential", c, args.prune_k) for c in ("sentiment", "pos")]
+    for order, ctl, pk in jobs:
+        key = f"{order}/{ctl or 'free'}/prune{pk}"
+        print(f"--- {key}", flush=True)
+        cell = run_cell(cap, embeds, order=order, ctl=ctl, prune_k=pk,
+                        **common)
+        for m, v in cell.items():
+            print(f"  {m}: {v:.4f}")
+        cells[key] = cell
+    result = {
+        "weights": ("random-" + args.random_models) if args.random_models
+                   else f"{args.lm_model}+{args.match_model}",
+        "config": {"n_images": args.n_images, **common,
+                   "clip_len": args.clip_len},
+        "cells": cells,
+        "worst_best_cosine_delta": max(
+            c["best_cosine_delta"] for c in cells.values()
+        ),
+    }
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
