@@ -30,7 +30,7 @@ import numpy as np
 SENTENCE_LEN = 10
 ITERS = int(os.environ.get("CONZIC_BENCH_ITERS", "15"))
 K = int(os.environ.get("CONZIC_BENCH_K", "200"))
-BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "8"))
 PRUNE = int(os.environ.get("CONZIC_BENCH_PRUNE", "0")) or None
 CLIP_LEN = int(os.environ.get("CONZIC_BENCH_CLIP_LEN", "24"))
 ATTN = os.environ.get("CONZIC_BENCH_ATTN", "xla")

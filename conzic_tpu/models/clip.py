@@ -67,13 +67,20 @@ class CLIPTextTower(nn.Module):
         if prefix_kvs is not None:
             # full-key-width additive bias: prefix keys unmasked (all real
             # tokens preceding every suffix query) + causal/padding over the
-            # suffix keys
+            # suffix keys; lens carries full key lengths for the fused
+            # (Pallas) rectangular-attention path
+            from conzic_tpu.ops.attention import AttnMask
+
             P = prefix_kvs[0][0].shape[1]
             bias_suf = make_attention_bias(attention_mask, S, causal=True)
-            bias = jnp.concatenate(
+            full_bias = jnp.concatenate(
                 [jnp.zeros((*bias_suf.shape[:-1], P), jnp.float32), bias_suf],
                 axis=-1,
             )
+            lens = None
+            if attention_mask is not None:
+                lens = P + jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+            bias = AttnMask(bias=full_bias, lens=lens, causal=True)
         else:
             bias = make_attn_mask(attention_mask, S, causal=True)
         stack = TransformerStack(

@@ -184,8 +184,23 @@ class MultiHeadAttention(nn.Module):
             ).reshape(N, P, H, D)
             k = jnp.concatenate([pk_b, k], axis=1)
             v = jnp.concatenate([pv_b, v], axis=1)
-            raw_bias = bias.bias if isinstance(bias, AttnMask) else bias
-            out = dot_product_attention(q, k, v, bias=raw_bias)
+            use_fused = (
+                self.attn_impl == "pallas"
+                and isinstance(bias, AttnMask)
+                and bias.lens is not None
+                and jax.default_backend() == "tpu"
+            )
+            if use_fused:
+                from conzic_tpu.ops.fused_attention import (
+                    fused_masked_attention,
+                )
+
+                out = fused_masked_attention(
+                    q, k, v, bias.lens, causal=True, group=8
+                )
+            else:
+                raw_bias = bias.bias if isinstance(bias, AttnMask) else bias
+                out = dot_product_attention(q, k, v, bias=raw_bias)
         else:
             impl = self.attn_impl if self.attn_impl != "pallas_block" else "xla"
             if isinstance(bias, AttnMask):

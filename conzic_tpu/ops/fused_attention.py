@@ -25,25 +25,29 @@ NEG_INF = -1e9
 
 def _kernel(q_ref, k_ref, v_ref, lens_ref, o_ref, *, causal: bool,
             scale: float):
-    G, S, H, D = q_ref.shape
+    G, Sq, H, D = q_ref.shape
+    Sk = k_ref.shape[1]
     # (G,S,H,D) -> (G,H,S,D) -> (G*H, S, D)
-    q = jnp.transpose(q_ref[:], (0, 2, 1, 3)).reshape(G * H, S, D)
-    k = jnp.transpose(k_ref[:], (0, 2, 1, 3)).reshape(G * H, S, D)
-    v = jnp.transpose(v_ref[:], (0, 2, 1, 3)).reshape(G * H, S, D)
+    q = jnp.transpose(q_ref[:], (0, 2, 1, 3)).reshape(G * H, Sq, D)
+    k = jnp.transpose(k_ref[:], (0, 2, 1, 3)).reshape(G * H, Sk, D)
+    v = jnp.transpose(v_ref[:], (0, 2, 1, 3)).reshape(G * H, Sk, D)
     logits = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (G*H, S, S)
+    )  # (G*H, Sq, Sk)
     logits = logits * scale
-    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
     if causal:
-        logits = jnp.where((col <= row)[None, :, :], logits, NEG_INF)
+        # rectangular: query i sits at absolute position i + (Sk - Sq)
+        # (shared-prefix suffix attention); square reduces to col <= row
+        logits = jnp.where((col <= row + (Sk - Sq))[None, :, :], logits,
+                           NEG_INF)
     # key padding: keys at index >= lens[g] masked for every head of g
     lens = lens_ref[:]  # (G, 1) int32
-    key_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-    keep = key_idx < lens  # (G, S)
-    keep = jnp.repeat(keep[:, None, :], H, axis=1).reshape(G * H, 1, S)
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Sk), 1)
+    keep = key_idx < lens  # (G, Sk)
+    keep = jnp.repeat(keep[:, None, :], H, axis=1).reshape(G * H, 1, Sk)
     logits = jnp.where(keep, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
@@ -51,8 +55,8 @@ def _kernel(q_ref, k_ref, v_ref, lens_ref, o_ref, *, causal: bool,
     out = jax.lax.dot_general(
         w, v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (G*H, S, D)
-    out = out.reshape(G, H, S, D).transpose(0, 2, 1, 3)
+    )  # (G*H, Sq, D)
+    out = out.reshape(G, H, Sq, D).transpose(0, 2, 1, 3)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -69,33 +73,38 @@ def fused_masked_attention(
     group: int = 16,
     interpret: bool = False,
 ) -> jax.Array:
-    """q/k/v: (N, S, H, D); lens: (N,) valid key lengths (None = all S)."""
+    """q: (N, Sq, H, D); k/v: (N, Sk, H, D) with Sk >= Sq (rectangular =
+    shared-prefix suffix attention, causal offset Sk-Sq); lens: (N,) valid
+    KEY lengths (None = all Sk)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    N, S, H, D = q.shape
+    N, Sq, H, D = q.shape
+    Sk = k.shape[1]
     if lens is None:
-        lens = jnp.full((N,), S, jnp.int32)
+        lens = jnp.full((N,), Sk, jnp.int32)
     G = min(group, N)
     pad = (-N) % G
     if pad:
-        zpad = jnp.zeros((pad, S, H, D), q.dtype)
-        q = jnp.concatenate([q, zpad], axis=0)
-        k = jnp.concatenate([k, zpad], axis=0)
-        v = jnp.concatenate([v, zpad], axis=0)
+        q = jnp.concatenate([q, jnp.zeros((pad, Sq, H, D), q.dtype)], axis=0)
+        zk = jnp.zeros((pad, Sk, H, D), k.dtype)
+        k = jnp.concatenate([k, zk], axis=0)
+        v = jnp.concatenate([v, zk], axis=0)
         lens = jnp.concatenate([lens, jnp.ones((pad,), jnp.int32)], axis=0)
     lens2d = lens.astype(jnp.int32).reshape(-1, 1)
     grid = (q.shape[0] // G,)
-    spec = pl.BlockSpec((G, S, H, D), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((G, Sq, H, D), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((G, Sk, H, D), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, causal=causal, scale=D ** -0.5),
         grid=grid,
         in_specs=[
-            spec, spec, spec,
+            qspec, kspec, kspec,
             pl.BlockSpec((G, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=spec,
+        out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
     )(q, k, v, lens2d)

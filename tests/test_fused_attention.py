@@ -80,3 +80,44 @@ def test_fused_attention_block_matches_composition():
             np.asarray(got[n, : lens[n]]), np.asarray(ref[n, : lens[n]]),
             rtol=2e-4, atol=2e-4,
         )
+
+
+def test_fused_attention_rectangular_matches_xla():
+    """Rectangular (shared-prefix suffix) attention: q over Sq suffix
+    positions, k/v over Sk = P + Sq keys, causal offset P, key-padding
+    lens — must equal the XLA bias formulation."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conzic_tpu.ops.attention import (
+        dot_product_attention,
+        make_attention_bias,
+    )
+    from conzic_tpu.ops.fused_attention import fused_masked_attention
+
+    rng = np.random.RandomState(0)
+    N, Sq, P, H, D = 6, 5, 3, 2, 8
+    Sk = P + Sq
+    q = jnp.asarray(rng.randn(N, Sq, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(N, Sk, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(N, Sk, H, D).astype(np.float32))
+    suffix_valid = rng.randint(1, Sq + 1, size=(N,))
+    suffix_mask = (np.arange(Sq)[None, :] < suffix_valid[:, None]).astype(
+        np.int32
+    )
+    lens = jnp.asarray(P + suffix_valid, jnp.int32)
+
+    bias_suf = make_attention_bias(jnp.asarray(suffix_mask), Sq, causal=True)
+    bias = jnp.concatenate(
+        [jnp.zeros((*bias_suf.shape[:-1], P), jnp.float32), bias_suf], axis=-1
+    )
+    ref = dot_product_attention(q, k, v, bias=bias)
+    got = fused_masked_attention(q, k, v, lens, causal=True, group=4,
+                                 interpret=True)
+    # only rows attending valid keys matter (padded queries feed nothing)
+    for n in range(N):
+        np.testing.assert_allclose(
+            np.asarray(got)[n, : suffix_valid[n]],
+            np.asarray(ref)[n, : suffix_valid[n]],
+            rtol=1e-5, atol=1e-5,
+        )
