@@ -181,7 +181,29 @@ def bench_torch_baseline() -> float:
     return 1.0 / (per_position * SENTENCE_LEN * ITERS)
 
 
+def check_prune_quality():
+    """Gate the (non-parity) pruned headline on the committed quality
+    matrix: warn loudly when the matrix is missing or shows material
+    CLIPScore loss (VERDICT r1 item 8)."""
+    path = os.path.join(os.path.dirname(__file__), "PRUNING_MATRIX.json")
+    if not os.path.exists(path):
+        print("WARNING: prune_k set but PRUNING_MATRIX.json is missing — "
+              "run tools/validate_pruning.py --matrix first; the pruned "
+              "number has no quality bound attached.", file=sys.stderr)
+        return
+    with open(path) as f:
+        matrix = json.load(f)
+    worst = matrix.get("worst_best_cosine_delta")
+    if worst is not None and worst > 0.01:
+        print(f"WARNING: pruning quality matrix reports worst best-cosine "
+              f"delta {worst:+.4f} (> 0.01); treat the pruned throughput "
+              f"as quality-degraded ({matrix.get('weights')}).",
+              file=sys.stderr)
+
+
 def main():
+    if PRUNE:
+        check_prune_quality()
     ours = bench_ours()
 
     baseline = None

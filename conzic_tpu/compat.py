@@ -79,15 +79,19 @@ def get_init_text(tokenizer, seed_text, max_len, batch_size=1):
 
 
 def update_token_mask(tokenizer, token_mask, max_len, index):
-    """utils.py:53-59 parity for host-side mask arrays (numpy)."""
-    mask = np.asarray(token_mask)
-    period = (
-        tokenizer.vocab["."]
-        if hasattr(tokenizer, "vocab")
-        else tokenizer.wp.vocab["."]
-    )
-    mask = mask.copy()
-    mask[..., period] = 1.0 if index == max_len - 1 else 0.0
+    """utils.py:53-59 parity for host-side mask arrays (numpy).
+
+    Accepts a Captioner, a tokenizer with ``.vocab``, or anything exposing
+    ``.wp.vocab``; vocabularies without a ``'.'`` entry (possible for
+    custom/byte-BPE vocabs) leave the mask unchanged instead of raising.
+    """
+    vocab = getattr(tokenizer, "vocab", None)
+    if vocab is None:
+        vocab = tokenizer.wp.vocab
+    period = vocab.get(".")
+    mask = np.asarray(token_mask).copy()
+    if period is not None:
+        mask[..., period] = 1.0 if index == max_len - 1 else 0.0
     return mask
 
 

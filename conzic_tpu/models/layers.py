@@ -195,12 +195,16 @@ class MultiHeadAttention(nn.Module):
                     fused_masked_attention,
                 )
 
+                import os
+
                 out = fused_masked_attention(
-                    q, k, v, bias.lens, causal=True, group=8
+                    q, k, v, bias.lens, causal=True,
+                    group=int(os.environ.get("CONZIC_ATTN_GROUP", "8")),
                 )
             else:
                 raw_bias = bias.bias if isinstance(bias, AttnMask) else bias
-                out = dot_product_attention(q, k, v, bias=raw_bias)
+                impl = "xla_bhsd" if self.attn_impl == "xla_bhsd" else "xla"
+                out = dot_product_attention(q, k, v, bias=raw_bias, impl=impl)
         else:
             impl = self.attn_impl if self.attn_impl != "pallas_block" else "xla"
             if isinstance(bias, AttnMask):

@@ -144,6 +144,15 @@ def test_compat_shim_reference_signatures(captioner):
     assert m2[0, cap.wp.vocab["."]] == 0.0
     m3 = compat.update_token_mask(cap.wp, mask, 4, 3)
     assert m3[0, cap.wp.vocab["."]] == 1.0
+    # Captioner accepted in the tokenizer slot; '.'-less vocab is a no-op
+    m4 = compat.update_token_mask(cap, mask, 4, 1)
+    assert m4[0, cap.wp.vocab["."]] == 0.0
+
+    class _NoPeriod:
+        vocab = {"[CLS]": 0, "word": 1}
+
+    m5 = compat.update_token_mask(_NoPeriod(), mask, 4, 1)
+    np.testing.assert_array_equal(m5, mask)
 
 
 def test_clip_scores_eval(captioner, tmp_path):

@@ -522,3 +522,94 @@ def test_build_schedule_shapes_and_validation():
     assert s.kind == "parallel"
     with pytest.raises(ValueError):
         build_schedule("bogus", 7, 2, rng)
+
+
+def _naive_single_order(cap, image_embeds, positions, prompt, max_len,
+                        top_k, temperature, alpha, beta):
+    """Host reference loop over an explicit (iters, steps) position array —
+    the shuffle/random semantics of gen_utils.py:98-146/197-243 (fresh BERT
+    forward per step, host decode + re-tokenize, argmax commit)."""
+    wp, bpe = cap.wp, cap.bpe
+    bert, clip = cap.bert_model, cap.clip_model
+    params = jax.tree.map(np.asarray, cap.params)
+    tables = jax.tree.map(np.asarray, cap.tables)
+    seed_len = cap.seed_len(prompt)
+    ids = cap.init_ids(prompt, max_len, image_embeds.shape[0])
+    B = ids.shape[0]
+    texts_per_iter, cos_per_iter = [], []
+    best_cos = np.zeros((B,))
+    best_caps = ["None"] * B
+    for it in range(positions.shape[0]):
+        for pos in positions[it]:
+            pos = int(pos)
+            mask = tables["mask_last"] if pos == max_len - 1 else tables["mask_mid"]
+            ids[:, seed_len + pos] = wp.mask_token_id
+            logits = np.asarray(
+                bert.apply({"params": params["bert"]}, jnp.asarray(ids))
+            )[:, seed_len + pos]
+            probs = np.asarray(
+                jax.nn.softmax(jnp.asarray(logits / temperature), axis=-1)
+            ) * mask
+            idxs = np.argsort(-probs, axis=-1, kind="stable")[:, :top_k]
+            top_probs = np.take_along_axis(probs, idxs, axis=1)
+            idxs = (idxs * mask[idxs]).astype(np.int64)
+            cand_rows = np.repeat(ids[:, None, :], top_k, axis=1)
+            for b in range(B):
+                cand_rows[b, :, seed_len + pos] = idxs[b]
+            texts = wp.batch_decode(
+                cand_rows.reshape(-1, ids.shape[1]), skip_special_tokens=True
+            )
+            clip_ids, clip_mask = bpe.batch_encode(
+                texts, max_length=cap.cfg.clip_len, pad_to_max=True
+            )
+            text_embeds = clip.apply(
+                {"params": params["clip"]}, jnp.asarray(clip_ids),
+                jnp.asarray(clip_mask), method=CLIPModel.encode_text,
+            )
+            clip_probs, cosine = clip.apply(
+                {"params": params["clip"]}, jnp.asarray(image_embeds),
+                text_embeds, method=CLIPModel.similarity,
+            )
+            final = alpha * top_probs + beta * np.asarray(clip_probs)
+            sel = np.argmax(final, axis=1)
+            for b in range(B):
+                ids[b, seed_len + pos] = idxs[b, sel[b]]
+            cur_cos = np.asarray(cosine)[np.arange(B), sel]
+        caps = wp.batch_decode(ids, skip_special_tokens=True)
+        for b in range(B):
+            if best_cos[b] < cur_cos[b]:
+                best_cos[b] = cur_cos[b]
+                best_caps[b] = caps[b]
+        texts_per_iter.append(caps)
+        cos_per_iter.append(cur_cos.copy())
+    return texts_per_iter, cos_per_iter, best_caps, best_cos
+
+
+@pytest.mark.parametrize("order", ["shuffle", "random"])
+def test_permuted_orders_match_naive_host_loop(captioner, order):
+    """Shuffle (one reused permutation) and random (fresh uniform draws per
+    iteration) byte-parity vs the naive host loop, using the exact schedule
+    the engine draws (same RandomState stream)."""
+    cap = captioner
+    rng = np.random.RandomState(0)
+    image_embeds = jnp.asarray(
+        rng.randn(2, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    kwargs = dict(prompt="Image of a", max_len=4, top_k=8,
+                  temperature=0.1, alpha=0.02, beta=2.0)
+    sched = build_schedule(order, kwargs["max_len"], 2, np.random.RandomState(7))
+    ref_texts, ref_cos, ref_best, _ = _naive_single_order(
+        cap, np.asarray(image_embeds), sched.positions, **kwargs
+    )
+    result = cap.run(
+        image_embeds, prompt=kwargs["prompt"], max_len=kwargs["max_len"],
+        top_k=kwargs["top_k"], temperature=kwargs["temperature"],
+        max_iter=2, alpha=kwargs["alpha"], beta=kwargs["beta"],
+        order=order, rng=np.random.RandomState(7),
+    )
+    assert result.gen_texts_list[:-1] == ref_texts
+    np.testing.assert_allclose(
+        np.asarray(result.clip_score_sequence[:-1]), np.asarray(ref_cos),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert result.gen_texts_list[-1] == ref_best
