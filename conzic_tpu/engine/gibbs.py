@@ -91,6 +91,7 @@ def _encode_candidates(
     clip_ids: jax.Array,
     clip_mask: jax.Array,
     prefix_len: int,
+    prefix_kvs=None,
 ) -> jax.Array:
     """(B, k, L) candidate rows -> (B*k, D) text embeddings.
 
@@ -106,7 +107,18 @@ def _encode_candidates(
 
     def encode(ids_bk, mask_bk):  # (B, kc, L) -> (B, kc, D)
         kc = ids_bk.shape[1]
-        if P:
+        if P and prefix_kvs is not None:
+            # prompt-constant prefix: K/V computed once per GENERATION
+            # (run_generation), not per position
+            emb = clip.apply(
+                {"params": params["clip"]},
+                prefix_kvs,
+                P,
+                ids_bk[:, :, P:],
+                mask_bk[:, :, P:],
+                method=CLIPModel.encode_text_suffix,
+            )
+        elif P:
             emb = clip.apply(
                 {"params": params["clip"]},
                 ids_bk[:, 0, :P],
@@ -152,6 +164,7 @@ def _position_update(
     token_mask: jax.Array,
     prefix_len: int = 0,
     host_bridge=None,
+    prefix_kvs=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Score k candidates for ``pos`` and commit the argmax.
 
@@ -218,7 +231,7 @@ def _position_update(
             clip_len=spec.clip_len,
         )
     text_embeds = _encode_candidates(
-        spec, clip, params, clip_ids, clip_mask, prefix_len
+        spec, clip, params, clip_ids, clip_mask, prefix_len, prefix_kvs
     )
     clip_probs, cosine = clip.apply(
         {"params": params["clip"]},
@@ -270,7 +283,7 @@ def _token_mask_for(spec: EngineSpec, tables, pos):
 
 
 def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
-                host_bridge=None):
+                host_bridge=None, prefix_kvs=None):
     """Returns iteration_fn(ids, schedule_row) -> (ids, cos, ctl)."""
 
     def fresh_logits(ids, pos):
@@ -279,17 +292,18 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
         rows = jnp.arange(B)
         masked = ids.at[rows, col].set(spec.mask_token_id)
         hidden = bert.apply(
-            {"params": params["bert"]}, masked, method=BertForMaskedLM.hidden
-        )
-        hvec = hidden[rows, col]  # (B, H), vocab projection only at the slot
+            {"params": params["bert"]}, masked,
+            pool_idx=col[:, None], method=BertForMaskedLM.hidden,
+        )  # (B, 1, H): final layer computed at the masked slot only
         logits = bert.apply(
-            {"params": params["bert"]}, hvec, method=BertForMaskedLM.lm_head
+            {"params": params["bert"]}, hidden[:, 0],
+            method=BertForMaskedLM.lm_head,
         )
         return masked, logits
 
     update = functools.partial(
         _position_update, spec, bert, clip, params, tables, hyper,
-        image_embeds, host_bridge=host_bridge,
+        image_embeds, host_bridge=host_bridge, prefix_kvs=prefix_kvs,
     )
 
     if spec.order_kind == "single":
@@ -342,10 +356,12 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
             vals = jnp.where(valid[None, :], spec.mask_token_id, cur)
             ids = ids.at[:, cols].set(vals)
             # ONE stale forward for the span (gen_utils.py:165)
-            hidden = bert.apply(
-                {"params": params["bert"]}, ids, method=BertForMaskedLM.hidden
-            )
-            hspan = hidden[:, cols]  # (B, SPAN, H)
+            B_ = ids.shape[0]
+            hspan = bert.apply(
+                {"params": params["bert"]}, ids,
+                pool_idx=jnp.broadcast_to(cols[None, :], (B_, cols.shape[0])),
+                method=BertForMaskedLM.hidden,
+            )  # (B, SPAN, H)
             logits_span = bert.apply(
                 {"params": params["bert"]}, hspan, method=BertForMaskedLM.lm_head
             )
@@ -387,10 +403,14 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
             B = ids.shape[0]
             base = ids  # candidates built from iteration-start rows
             # one UNMASKED forward (gen_utils.py:258 — quirk preserved)
-            hidden = bert.apply(
-                {"params": params["bert"]}, ids, method=BertForMaskedLM.hidden
-            )
-            hspan = hidden[:, spec.seed_len : spec.seed_len + spec.sentence_len]
+            sent_cols = spec.seed_len + jnp.arange(spec.sentence_len)
+            hspan = bert.apply(
+                {"params": params["bert"]}, ids,
+                pool_idx=jnp.broadcast_to(
+                    sent_cols[None, :], (B, spec.sentence_len)
+                ),
+                method=BertForMaskedLM.hidden,
+            )  # (B, L, H)
             logits_all = bert.apply(
                 {"params": params["bert"]}, hspan, method=BertForMaskedLM.lm_head
             )
@@ -437,9 +457,36 @@ def run_generation(
     gen_utils.py:85-88: strictly-greater update on the per-iteration cosine,
     initialized at 0.
     """
+    # prompt-constant prefix K/V: with a single prefix chunk the shared
+    # prefix is exactly BOS + prompt, which never changes across positions
+    # or iterations — encode it ONCE here instead of at every Gibbs step
+    prefix_kvs = None
+    chunks = spec.prefix_chunks
+    if (
+        chunks is not None
+        and len(chunks) == 1
+        and 2 <= chunks[0][0] < spec.clip_len - 1
+        and not spec.exact_bridge
+    ):
+        P0 = chunks[0][0]
+        inner0 = init_ids[:, 1 : spec.seq_len - 1]
+        pref_row, _ = assemble_clip_ids(
+            inner0,
+            tables["bridge_ids"],
+            tables["bridge_lens"],
+            bos_id=spec.clip_bos_id,
+            eos_id=spec.clip_eos_id,
+            pad_id=spec.clip_pad_id,
+            clip_len=spec.clip_len,
+        )
+        prefix_kvs = clip.apply(
+            {"params": params["clip"]},
+            pref_row[:, :P0],
+            method=CLIPModel.text_prefix_kvs,
+        )
     iteration = _make_sweep(
         spec, bert, clip, params, tables, hyper, image_embeds,
-        host_bridge=host_bridge,
+        host_bridge=host_bridge, prefix_kvs=prefix_kvs,
     )
     B = init_ids.shape[0]
 

@@ -126,10 +126,20 @@ class BertForMaskedLM(nn.Module):
         input_ids: jax.Array,
         attention_mask: Optional[jax.Array] = None,
         token_type_ids: Optional[jax.Array] = None,
+        pool_idx: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """``pool_idx`` (B, Q): only those positions' hidden states are
+        consumed (the engine projects vocab logits at masked slots only),
+        so the final encoder layer computes just those rows — output
+        becomes (B, Q, H)."""
         x = self.embeddings(input_ids, token_type_ids)
         mask = make_attn_mask(attention_mask, input_ids.shape[1])
-        return self.encoder(x, mask)
+        if pool_idx is not None and not self.scan_layers:
+            return self.encoder(x, mask, pool_idx=pool_idx)
+        out = self.encoder(x, mask)
+        if pool_idx is not None:
+            out = jnp.take_along_axis(out, pool_idx[:, :, None], axis=1)
+        return out
 
     def lm_head(self, hidden: jax.Array) -> jax.Array:
         word_table = self.variables["params"]["embeddings"]["word"]["embedding"]

@@ -96,18 +96,26 @@ class CLIPTextTower(nn.Module):
             scan_layers=self.scan_layers,
             name="encoder",
         )
+        # Pool at the first EOS position (HF CLIP pools at argmax(ids), valid
+        # because EOS is the highest id in the CLIP vocab; we use the explicit
+        # first-EOS index which matches for right-padded sequences). Only
+        # that row is consumed, so the final layer computes just it
+        # (pool_idx) — exact, ~1/12 of the tower's q/out/MLP work saved.
+        is_eos = (input_ids == cfg.eos_token_id).astype(jnp.int32)
+        eos_pos = jnp.argmax(is_eos, axis=1)  # first occurrence
         kvs = None
         if return_kvs:
             x, kvs = stack(x, bias, return_kvs=True)
+            x = jnp.take_along_axis(x, eos_pos[:, None, None], axis=1)
+        elif self.scan_layers:
+            x = stack(x, bias)
+            x = jnp.take_along_axis(x, eos_pos[:, None, None], axis=1)
         else:
-            x = stack(x, bias, prefix_kvs=prefix_kvs)
-        x = LayerNorm(eps=cfg.layer_norm_eps, dtype=self.dtype, name="final_ln")(x)
-        # Pool at the first EOS position (HF CLIP pools at argmax(ids), valid
-        # because EOS is the highest id in the CLIP vocab; we use the explicit
-        # first-EOS index which matches for right-padded sequences).
-        is_eos = (input_ids == cfg.eos_token_id).astype(jnp.int32)
-        eos_pos = jnp.argmax(is_eos, axis=1)  # first occurrence
-        pooled = jnp.take_along_axis(x, eos_pos[:, None, None], axis=1)[:, 0, :]
+            x = stack(x, bias, prefix_kvs=prefix_kvs,
+                      pool_idx=eos_pos[:, None])
+        pooled = LayerNorm(
+            eps=cfg.layer_norm_eps, dtype=self.dtype, name="final_ln"
+        )(x)[:, 0, :]
         if return_kvs:
             return pooled, kvs
         return pooled
@@ -244,14 +252,34 @@ class CLIPModel(nn.Module):
         Returns:
           ``(B*G, projection_dim)`` text embeddings.
         """
-        B, P = prefix_ids.shape
-        G, S = suffix_ids.shape[1], suffix_ids.shape[2]
+        kvs = self.text_prefix_kvs(prefix_ids)
+        return self.encode_text_suffix(
+            kvs, prefix_ids.shape[1], suffix_ids, suffix_mask
+        )
+
+    def text_prefix_kvs(self, prefix_ids: jax.Array):
+        """(B, P) shared prefix -> per-layer attention K/V. For a fixed
+        prompt the prefix never changes within a generation, so the engine
+        computes this ONCE per generation and reuses it at every Gibbs
+        position (engine/gibbs.py run_generation)."""
         _, kvs = self.text_model(prefix_ids, return_kvs=True)
+        return kvs
+
+    def encode_text_suffix(
+        self,
+        prefix_kvs,
+        prefix_len: int,
+        suffix_ids: jax.Array,
+        suffix_mask: jax.Array,
+    ) -> jax.Array:
+        """Suffix half of :meth:`encode_text_shared_prefix` against cached
+        prefix K/V. suffix_ids/suffix_mask: (B, G, S)."""
+        B, G, S = suffix_ids.shape
         pooled = self.text_model(
             suffix_ids.reshape(B * G, S),
             suffix_mask.reshape(B * G, S),
-            pos_offset=P,
-            prefix_kvs=kvs,
+            pos_offset=prefix_len,
+            prefix_kvs=prefix_kvs,
         )
         return self.text_projection(pooled)
 

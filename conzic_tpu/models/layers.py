@@ -124,7 +124,11 @@ class MultiHeadAttention(nn.Module):
         residual: Optional[jax.Array] = None,
         prefix_kv: Optional[tuple] = None,
         return_kv: bool = False,
+        x_kv: Optional[jax.Array] = None,
     ):
+        """``x_kv``: when given, queries come from ``x`` (N, Q, E) while
+        keys/values come from ``x_kv`` (N, S, E) — the final-layer
+        pooled-rows optimization (only Q output rows are ever consumed)."""
         from conzic_tpu.ops.attention import AttnMask
 
         H, D = self.num_heads, self.head_dim
@@ -161,9 +165,10 @@ class MultiHeadAttention(nn.Module):
         dense = lambda name: nn.DenseGeneral(
             features=(H, D), dtype=self.dtype, name=name
         )
+        kv_src = x if x_kv is None else x_kv
         q = dense("query")(x)
-        k = dense("key")(x)
-        v = dense("value")(x)
+        k = dense("key")(kv_src)
+        v = dense("value")(kv_src)
         if prefix_kv is not None:
             # shared-prefix attention: x is (B*G, S, E); prefix K/V are
             # (B, P, H, D), shared by the G candidate rows of each image.
@@ -188,6 +193,7 @@ class MultiHeadAttention(nn.Module):
                 self.attn_impl == "pallas"
                 and isinstance(bias, AttnMask)
                 and bias.lens is not None
+                and x_kv is None  # kernel assumes q = trailing positions
                 and jax.default_backend() == "tpu"
             )
             if use_fused:
@@ -195,11 +201,11 @@ class MultiHeadAttention(nn.Module):
                     fused_masked_attention,
                 )
 
-                import os
-
+                # group=8 and group=32 measure identically end-to-end
+                # (1.52 caps/s): the kernel cost is not grid dispatch but
+                # the lost exp/normalize->out-projection fusion
                 out = fused_masked_attention(
-                    q, k, v, bias.lens, causal=True,
-                    group=int(os.environ.get("CONZIC_ATTN_GROUP", "8")),
+                    q, k, v, bias.lens, causal=True, group=8
                 )
             else:
                 raw_bias = bias.bias if isinstance(bias, AttnMask) else bias
@@ -258,7 +264,12 @@ class TransformerBlock(nn.Module):
         bias: Optional[jax.Array] = None,
         prefix_kv: Optional[tuple] = None,
         return_kv: bool = False,
+        query_idx: Optional[jax.Array] = None,
     ):
+        """``query_idx`` (N, Q): compute this block's output ONLY at those
+        positions (keys/values still span all positions) — valid when every
+        downstream consumer reads just those rows, i.e. the final layer
+        before pooled/masked-slot readout. Returns (N, Q, E)."""
         hidden = self.num_heads * self.head_dim
         attn = MultiHeadAttention(
             num_heads=self.num_heads,
@@ -276,6 +287,34 @@ class TransformerBlock(nn.Module):
         )
         ln1 = LayerNorm(eps=self.eps, dtype=self.dtype, name="ln1")
         ln2 = LayerNorm(eps=self.eps, dtype=self.dtype, name="ln2")
+
+        if query_idx is not None:
+            assert not return_kv
+            from conzic_tpu.ops.attention import AttnMask
+
+            raw_bias = bias.bias if isinstance(bias, AttnMask) else bias
+            if raw_bias is not None:
+                # (N or 1, 1, S, Sk) -> rows at query_idx -> (N, 1, Q, Sk)
+                if raw_bias.shape[0] == 1 and query_idx.shape[0] != 1:
+                    raw_bias = jnp.broadcast_to(
+                        raw_bias,
+                        (query_idx.shape[0], *raw_bias.shape[1:]),
+                    )
+                raw_bias = jnp.take_along_axis(
+                    raw_bias, query_idx[:, None, :, None], axis=2
+                )
+            take = lambda a: jnp.take_along_axis(
+                a, query_idx[:, :, None], axis=1
+            )
+            if self.pre_ln:
+                xn = ln1(x)
+                xq = attn(take(xn), raw_bias, residual=take(x),
+                          prefix_kv=prefix_kv, x_kv=xn)
+                return xq + mlp(ln2(xq))
+            xq = attn(take(x), raw_bias, residual=take(x),
+                      prefix_kv=prefix_kv, x_kv=x)
+            xq = ln1(xq)
+            return ln2(xq + mlp(xq))
 
         kv = None
         if self.pre_ln:
@@ -327,7 +366,11 @@ class TransformerStack(nn.Module):
         bias: Optional[jax.Array] = None,
         prefix_kvs: Optional[list] = None,
         return_kvs: bool = False,
+        pool_idx: Optional[jax.Array] = None,
     ):
+        """``pool_idx`` (N, Q): the stack's output is only consumed at these
+        positions (pooled/masked-slot readout) — the final layer computes
+        just those rows. Output becomes (N, Q, E)."""
         kw = dict(
             num_heads=self.num_heads,
             head_dim=self.head_dim,
@@ -339,8 +382,8 @@ class TransformerStack(nn.Module):
             attn_impl=self.attn_impl,
         )
         if self.scan_layers:
-            assert prefix_kvs is None and not return_kvs, (
-                "prefix-KV reuse requires scan_layers=False"
+            assert prefix_kvs is None and not return_kvs and pool_idx is None, (
+                "prefix-KV reuse / pooled readout require scan_layers=False"
             )
             scanned = nn.scan(
                 TransformerBlock,
@@ -358,6 +401,8 @@ class TransformerStack(nn.Module):
             if return_kvs:
                 x, kv = block(x, bias, prefix_kv=pkv, return_kv=True)
                 kvs.append(kv)
+            elif pool_idx is not None and i == self.num_layers - 1:
+                x = block(x, bias, prefix_kv=pkv, query_idx=pool_idx)
             else:
                 x = block(x, bias, prefix_kv=pkv)
         if return_kvs:
