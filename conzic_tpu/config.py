@@ -118,6 +118,11 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    choices=["bfloat16", "float32"])
     p.add_argument("--param_dtype", type=str, default=d.param_dtype,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--bridge_mode", type=str, default=d.bridge_mode,
+                   choices=["table", "exact"],
+                   help="candidate CLIP-id assembly: on-device table "
+                        "(fast) or the reference's decode->re-tokenize "
+                        "host callback (byte-exact, incl. '##' merging)")
     p.add_argument("--kv_chunk_size", type=int, default=d.kv_chunk_size)
     p.add_argument("--clip_row_chunk", type=int, default=d.clip_row_chunk)
     p.add_argument("--clip_len", type=int, default=d.clip_len)

@@ -442,6 +442,12 @@ class Captioner:
     def _spec(self, seed_len, max_len, top_k, order_kind, ctl, negative,
               prune_k=None, prefix_chunks=None) -> EngineSpec:
         exact = self.cfg.bridge_mode == "exact"
+        row_chunk = self.cfg.clip_row_chunk
+        if row_chunk and self.cfg.clip_len > 48:
+            # long-context regime: XLA's plans go copy-heavy well before the
+            # 1600-row mark (measured at clip_len=77 — ROADMAP r2); chunk
+            # by token budget instead
+            row_chunk = min(row_chunk, max(1, 8000 // self.cfg.clip_len))
         return EngineSpec(
             seed_len=seed_len,
             sentence_len=max_len,
@@ -457,7 +463,7 @@ class Captioner:
             order_kind=order_kind,
             prune_k=prune_k,
             prefix_chunks=None if exact else prefix_chunks,
-            clip_row_chunk=self.cfg.clip_row_chunk,
+            clip_row_chunk=row_chunk,
             exact_bridge=exact,
         )
 
