@@ -37,6 +37,7 @@ ATTN = os.environ.get("CONZIC_BENCH_ATTN", "xla")
 PARAM_DTYPE = os.environ.get("CONZIC_BENCH_PARAM_DTYPE", "bfloat16")
 KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
 ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "1600"))
+QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 PROMPT = "Image of a"
 
@@ -63,6 +64,7 @@ def build_captioner():
     cfg.param_dtype = PARAM_DTYPE if on_tpu else "float32"
     cfg.kv_chunk_size = KV_CHUNK
     cfg.clip_row_chunk = ROW_CHUNK
+    cfg.quant = QUANT if on_tpu else "none"
     return Captioner.from_random(
         config=cfg,
         bert_config=BertConfig(),
@@ -224,7 +226,8 @@ def main():
 
     print(json.dumps({
         "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}"
-                  + (f" prune_k={PRUNE}" if PRUNE else ""),
+                  + (f" prune_k={PRUNE}" if PRUNE else "")
+                  + (f" quant={QUANT}" if QUANT != "none" else ""),
         "value": round(ours, 4),
         "unit": "captions/sec",
         "vs_baseline": round(vs, 2) if vs else None,

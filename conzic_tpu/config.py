@@ -54,6 +54,9 @@ class ConzicConfig:
     # PARITY.md); "exact" = host callback reproducing the reference's
     # decode -> re-tokenize byte-exactly (gen_utils.py:75, clip/clip.py:71)
     bridge_mode: str = "table"
+    # opt-in NON-parity speed tier: int8 MXU path for the CLIP text tower's
+    # projections/MLPs (the hot candidate scoring) — v5e int8 runs ~2x bf16
+    quant: str = "none"  # none | int8
     # exact prefix-KV reuse: candidate sentences share their CLIP prefix up
     # to the edited word; chunking the position scan gives each chunk a
     # static prefix length whose K/V are computed once at batch width
@@ -118,6 +121,10 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    choices=["bfloat16", "float32"])
     p.add_argument("--param_dtype", type=str, default=d.param_dtype,
                    choices=["bfloat16", "float32"])
+    p.add_argument("--quant", type=str, default=d.quant,
+                   choices=["none", "int8"],
+                   help="int8: quantized candidate scoring (non-parity "
+                        "speed tier, like prune_k)")
     p.add_argument("--bridge_mode", type=str, default=d.bridge_mode,
                    choices=["table", "exact"],
                    help="candidate CLIP-id assembly: on-device table "

@@ -195,7 +195,7 @@ class Captioner:
         bert = BertForMaskedLM(bert_cfg, dtype=dtype, attn_impl=config.attn_impl,
                                scan_layers=config.scan_layers)
         clip = CLIPModel(clip_cfg, dtype=dtype, attn_impl=config.attn_impl,
-                         scan_layers=config.scan_layers)
+                         scan_layers=config.scan_layers, quant=config.quant)
         from conzic_tpu.models.configs import load_hf_config
 
         if load_hf_config(config.lm_model).get("model_type") == "roberta":
@@ -262,7 +262,7 @@ class Captioner:
                                attn_impl=config.attn_impl,
                                scan_layers=scan_layers)
         clip = CLIPModel(clip_config, dtype=dtype, attn_impl=config.attn_impl,
-                         scan_layers=scan_layers)
+                         scan_layers=scan_layers, quant=config.quant)
         if init_mode == "proper":
             # real linen init (traces a forward): use for small test configs
             # where well-separated output statistics matter

@@ -35,6 +35,7 @@ class CLIPTextTower(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     scan_layers: bool = False
+    quant: str = "none"  # int8 MXU path for the hot candidate scoring
 
     @nn.compact
     def __call__(
@@ -191,12 +192,13 @@ class CLIPModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     scan_layers: bool = False
+    quant: str = "none"  # applies to the text tower (the hot loop) only
 
     def setup(self):
         cfg = self.config
         self.text_model = CLIPTextTower(
             cfg.text, dtype=self.dtype, attn_impl=self.attn_impl,
-            scan_layers=self.scan_layers,
+            scan_layers=self.scan_layers, quant=self.quant,
         )
         self.vision_model = CLIPVisionTower(
             cfg.vision, dtype=self.dtype, attn_impl=self.attn_impl,

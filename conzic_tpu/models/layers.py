@@ -115,6 +115,7 @@ class MultiHeadAttention(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: str = "none"  # "int8": projections through the int8 MXU path
 
     @nn.compact
     def __call__(
@@ -162,13 +163,25 @@ class MultiHeadAttention(nn.Module):
                 causal=mask.causal,
             )
 
-        dense = lambda name: nn.DenseGeneral(
-            features=(H, D), dtype=self.dtype, name=name
-        )
         kv_src = x if x_kv is None else x_kv
-        q = dense("query")(x)
-        k = dense("key")(kv_src)
-        v = dense("value")(kv_src)
+        if self.quant == "int8":
+            from conzic_tpu.ops.quant import int8_matmul
+
+            def dense_q(name, inp):
+                w, b = _DGParams((E, H, D), (H, D), name=name)()
+                y = int8_matmul(inp, w.reshape(E, E)) + b.reshape(E)
+                return y.reshape(*inp.shape[:-1], H, D).astype(self.dtype)
+
+            q = dense_q("query", x)
+            k = dense_q("key", kv_src)
+            v = dense_q("value", kv_src)
+        else:
+            dense = lambda name: nn.DenseGeneral(
+                features=(H, D), dtype=self.dtype, name=name
+            )
+            q = dense("query")(x)
+            k = dense("key")(kv_src)
+            v = dense("value")(kv_src)
         if prefix_kv is not None:
             # shared-prefix attention: x is (B*G, S, E); prefix K/V are
             # (B, P, H, D), shared by the G candidate rows of each image.
@@ -217,9 +230,18 @@ class MultiHeadAttention(nn.Module):
                 out = dot_product_attention(q, k, v, mask=bias, impl=impl)
             else:
                 out = dot_product_attention(q, k, v, bias=bias, impl=impl)
-        out = nn.DenseGeneral(
-            features=E, axis=(-2, -1), dtype=self.dtype, name="out"
-        )(out)
+        if self.quant == "int8":
+            from conzic_tpu.ops.quant import int8_matmul
+
+            wo, bo = _DGParams((H, D, E), (E,), name="out")()
+            out = (
+                int8_matmul(out.reshape(*out.shape[:-2], E), wo.reshape(E, E))
+                + bo
+            ).astype(self.dtype)
+        else:
+            out = nn.DenseGeneral(
+                features=E, axis=(-2, -1), dtype=self.dtype, name="out"
+            )(out)
         if residual is not None:
             out = out + residual
         if return_kv:
@@ -232,9 +254,25 @@ class Mlp(nn.Module):
     hidden_size: int
     act: str = "gelu"
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.quant == "int8":
+            from conzic_tpu.ops.quant import int8_matmul
+
+            w1, b1 = _DGParams(
+                (x.shape[-1], self.intermediate_size),
+                (self.intermediate_size,), name="fc1",
+            )()
+            h = ACTIVATIONS[self.act](
+                (int8_matmul(x, w1) + b1).astype(self.dtype)
+            )
+            w2, b2 = _DGParams(
+                (self.intermediate_size, self.hidden_size),
+                (self.hidden_size,), name="fc2",
+            )()
+            return (int8_matmul(h, w2) + b2).astype(self.dtype)
         h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(x)
         h = ACTIVATIONS[self.act](h)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(h)
@@ -255,6 +293,7 @@ class TransformerBlock(nn.Module):
     pre_ln: bool
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: str = "none"
     as_scan_body: bool = False  # return (x, None) for nn.scan
 
     @nn.compact
@@ -276,6 +315,7 @@ class TransformerBlock(nn.Module):
             head_dim=self.head_dim,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
             name="attention",
         )
         mlp = Mlp(
@@ -283,6 +323,7 @@ class TransformerBlock(nn.Module):
             hidden_size=hidden,
             act=self.act,
             dtype=self.dtype,
+            quant=self.quant,
             name="mlp",
         )
         ln1 = LayerNorm(eps=self.eps, dtype=self.dtype, name="ln1")
@@ -357,6 +398,7 @@ class TransformerStack(nn.Module):
     pre_ln: bool
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    quant: str = "none"
     scan_layers: bool = False
 
     @nn.compact
@@ -380,6 +422,7 @@ class TransformerStack(nn.Module):
             pre_ln=self.pre_ln,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            quant=self.quant,
         )
         if self.scan_layers:
             assert prefix_kvs is None and not return_kvs and pool_idx is None, (
