@@ -587,6 +587,28 @@ class Captioner:
                     [positions, np.repeat(positions[:, :, -1:], pad_rows, axis=2)],
                     axis=2,
                 )
+        from conzic_tpu.engine import host_exact
+
+        if spec.exact_bridge and not host_exact.supports_host_callbacks():
+            # this TPU runtime rejects jax host callbacks: run the exact
+            # (reference decode->re-tokenize) mode as a host-stepped loop
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "bridge_mode='exact' on a mesh requires a backend with "
+                    "host-callback support"
+                )
+            t0 = time.time()
+            iter_ids, iter_cos, iter_ctl, best_ids, best_cos = (
+                host_exact.run_generation_host(
+                    self, spec, image_embeds, init, np.asarray(positions),
+                    hyper, tables,
+                )
+            )
+            elapsed = time.time() - t0
+            return self._package_result(
+                iter_ids, iter_cos, iter_ctl, best_ids, best_cos, B, elapsed
+            )
+
         positions = jnp.asarray(positions)
         sizes = jnp.asarray(sched.span_sizes) if sched.span_sizes is not None else None
         init_dev = mesh_lib.shard_batch(self.mesh, jnp.asarray(init))
@@ -597,12 +619,20 @@ class Captioner:
             self.params, tables, hyper, image_embeds, init_dev,
             positions, sizes,
         )
+        elapsed = time.time() - t0
+        return self._package_result(
+            iter_ids, iter_cos, iter_ctl, best_ids, best_cos, B, elapsed
+        )
+
+    def _package_result(self, iter_ids, iter_cos, iter_ctl, best_ids,
+                        best_cos, B, elapsed) -> GenerationResult:
+        """Decode snapshots and build the reference-contract result (rows
+        beyond B are mesh padding and sliced off)."""
         iter_ids = np.asarray(iter_ids)[:, :B]
         iter_cos = np.asarray(iter_cos)[:, :B]
         iter_ctl = np.asarray(iter_ctl)[:, :B]
         best_ids = np.asarray(best_ids)[:B]
         best_cos = np.asarray(best_cos)[:B]
-        elapsed = time.time() - t0
 
         gen_texts_list: List[List[str]] = []
         clip_score_sequence: List[List[float]] = []

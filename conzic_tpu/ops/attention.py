@@ -142,7 +142,9 @@ def dot_product_attention(
         out = jnp.einsum("bhqk,bhkd->bhqd", weights, vt)
         return jnp.transpose(out, (0, 2, 1, 3)).astype(dtype)
 
-    # (B, H, Sq, Sk) logits in fp32
+    # (B, H, Sq, Sk) logits in fp32. NOTE: storing them bf16 was measured
+    # SLOWER (2.35 vs 2.69 caps/s) — the softmax chain is VPU-bound, not
+    # HBM-bound, and the dtype change broke XLA's logits+max tuple fusion.
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )

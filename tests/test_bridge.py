@@ -188,3 +188,45 @@ def test_table_mode_divergence_on_continuations_is_bounded():
         )
     delta = np.abs(results["table"].best_cos - results["exact"].best_cos)
     assert float(delta.max()) < 0.15, delta
+
+
+def test_host_stepped_exact_matches_callback_exact(monkeypatch):
+    """Backends without host-callback support (axon PJRT) run exact mode
+    as a host-stepped loop (engine/host_exact.py); it must produce exactly
+    what the pure_callback engine produces."""
+    import jax.numpy as jnp
+
+    from conzic_tpu.engine import host_exact
+
+    results = {}
+    for mode in ("callback", "host"):
+        cap = _make_subword_captioner("exact")
+        if mode == "host":
+            monkeypatch.setattr(
+                host_exact, "supports_host_callbacks", lambda: False
+            )
+        else:
+            monkeypatch.setattr(
+                host_exact, "supports_host_callbacks", lambda: True
+            )
+        rng = np.random.RandomState(0)
+        embeds = jnp.asarray(
+            rng.randn(2, cap.clip_model.config.projection_dim).astype(
+                np.float32
+            )
+        )
+        results[mode] = cap.run(
+            embeds, prompt="Image of a", max_len=4, top_k=6,
+            temperature=0.1, max_iter=2, alpha=0.02, beta=2.0,
+            order="sequential",
+        )
+    assert (
+        results["callback"].gen_texts_list == results["host"].gen_texts_list
+    )
+    np.testing.assert_array_equal(
+        results["callback"].iter_ids, results["host"].iter_ids
+    )
+    np.testing.assert_allclose(
+        results["callback"].best_cos, results["host"].best_cos,
+        rtol=0, atol=1e-5,
+    )
