@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from conzic_tpu.config import ConzicConfig, DEFAULT_POS_TEMPLATE
 from conzic_tpu.engine.sampler import control_generate_caption, generate_caption
 from conzic_tpu.runtime.logging import null_logger

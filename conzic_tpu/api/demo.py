@@ -16,8 +16,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
-
 from conzic_tpu.config import add_reference_args, config_from_args
 from conzic_tpu.engine.sampler import (
     Captioner,

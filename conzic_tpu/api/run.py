@@ -18,8 +18,6 @@ import argparse
 import json
 import os
 
-import numpy as np
-
 from conzic_tpu.config import add_reference_args, config_from_args
 from conzic_tpu.api.demo import build_captioner
 from conzic_tpu.engine.sampler import control_generate_caption, generate_caption

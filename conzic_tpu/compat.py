@@ -18,9 +18,6 @@ Usage for a reference user:
 
 from __future__ import annotations
 
-import logging
-from typing import Optional
-
 import numpy as np
 
 from conzic_tpu.engine import sampler as _sampler

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 DEFAULT_POS_TEMPLATE: List[List[str]] = [
     ["DET"], ["ADJ", "NOUN"], ["NOUN"], ["VERB"], ["VERB"], ["ADV"],

@@ -31,10 +31,9 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from conzic_tpu import energies
-from conzic_tpu.engine.orders import SPAN_LEN, Schedule
+from conzic_tpu.engine.orders import SPAN_LEN
 from conzic_tpu.models.bert import BertForMaskedLM
 from conzic_tpu.models.clip import CLIPModel
 from conzic_tpu.text.bridge import assemble_clip_ids

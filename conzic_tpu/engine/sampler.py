@@ -23,7 +23,7 @@ import numpy as np
 
 from conzic_tpu.config import ConzicConfig
 from conzic_tpu.engine.gibbs import EngineSpec, run_generation
-from conzic_tpu.engine.orders import Schedule, build_schedule
+from conzic_tpu.engine.orders import build_schedule
 from conzic_tpu.models.bert import BertForMaskedLM
 from conzic_tpu.models.clip import CLIPModel
 from conzic_tpu.models.configs import BertConfig, CLIPConfig

@@ -230,3 +230,32 @@ def test_host_stepped_exact_matches_callback_exact(monkeypatch):
         results["callback"].best_cos, results["host"].best_cos,
         rtol=0, atol=1e-5,
     )
+
+
+def test_host_stepped_exact_sentiment_control(monkeypatch):
+    """Host-stepped exact mode supports the control energies too."""
+    import jax.numpy as jnp
+
+    from conzic_tpu.engine import host_exact
+
+    results = {}
+    for mode in (True, False):  # callbacks supported / not
+        cap = _make_subword_captioner("exact")
+        monkeypatch.setattr(
+            host_exact, "supports_host_callbacks", lambda m=mode: m
+        )
+        rng = np.random.RandomState(0)
+        embeds = jnp.asarray(
+            rng.randn(1, cap.clip_model.config.projection_dim).astype(
+                np.float32
+            )
+        )
+        results[mode] = cap.run(
+            embeds, prompt="Image of a", max_len=4, top_k=6,
+            temperature=0.1, max_iter=1, alpha=0.02, beta=2.0, gamma=5.0,
+            order="sequential", ctl="sentiment", negative=True,
+        )
+    assert results[True].gen_texts_list == results[False].gen_texts_list
+    np.testing.assert_allclose(
+        results[True].iter_ctl, results[False].iter_ctl, rtol=0, atol=1e-5
+    )
