@@ -254,3 +254,31 @@ def test_app_widget_logic_matches_reference():
     vals = app_mod.reset_values()
     assert vals[0] == "caption" and vals[4] == "Image of a"
     assert vals[5:8] == (10, 10, 2)  # len, iters, samples defaults
+
+
+def test_run_cli_skips_unreadable_images(tmp_path, monkeypatch, tiny_captioner):
+    """Per-image failure handling (the reference's only fault tolerance,
+    clipretrieval.py:121-127, promoted to the batch runner): a corrupt file
+    in the directory is skipped and logged, the rest caption normally."""
+    from conzic_tpu.api import run as run_cli
+
+    img_dir = tmp_path / "imgs"
+    _write_images(str(img_dir), 2)
+    (img_dir / "corrupt.jpg").write_bytes(b"not an image at all")
+    monkeypatch.setattr(
+        run_cli, "build_captioner",
+        lambda cfg, random_models=False, mesh=None: tiny_captioner,
+    )
+    monkeypatch.chdir(tmp_path)
+    run_cli.main([
+        "--run_type", "caption", "--order", "sequential",
+        "--sentence_len", "3", "--candidate_k", "4", "--num_iterations", "1",
+        "--samples_num", "1", "--batch_size", "2",
+        "--caption_img_path", str(img_dir),
+    ])
+    log = (tmp_path / "logger" / os.listdir(tmp_path / "logger")[0]).read_text()
+    assert "skipping unreadable image corrupt.jpg" in log
+    sample_dir = list((tmp_path / "results").iterdir())[0] / "sample_0"
+    with open(sample_dir / "iter_0.json") as f:
+        res = json.load(f)
+    assert len(res) == 2  # both valid images captioned
