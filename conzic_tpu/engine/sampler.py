@@ -445,9 +445,10 @@ class Captioner:
         row_chunk = self.cfg.clip_row_chunk
         if row_chunk and self.cfg.clip_len > 48:
             # long-context regime: XLA's plans go copy-heavy well before the
-            # 1600-row mark (measured at clip_len=77 — ROADMAP r2); chunk
-            # by token budget instead
-            row_chunk = min(row_chunk, max(1, 8000 // self.cfg.clip_len))
+            # 1600-row mark; measured sweep at clip_len=77 (ROADMAP r2):
+            # ~100 rows -> 0.389, 50 -> 0.431, 25 -> 0.420 caps/s, so chunk
+            # to a ~4000-token budget
+            row_chunk = min(row_chunk, max(1, 4000 // self.cfg.clip_len))
         return EngineSpec(
             seed_len=seed_len,
             sentence_len=max_len,
