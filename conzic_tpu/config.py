@@ -134,7 +134,7 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--clip_row_chunk", type=int, default=d.clip_row_chunk)
     p.add_argument("--clip_len", type=int, default=d.clip_len)
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
-                   choices=["xla", "xla_bhsd", "pallas"])
+                   choices=["xla", "xla_bhsd", "pallas", "pallas_out"])
     p.add_argument("--mesh_data_axis", type=int, default=d.mesh_data_axis)
 
 

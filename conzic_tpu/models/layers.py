@@ -202,14 +202,29 @@ class MultiHeadAttention(nn.Module):
             ).reshape(N, P, H, D)
             k = jnp.concatenate([pk_b, k], axis=1)
             v = jnp.concatenate([pv_b, v], axis=1)
-            use_fused = (
-                self.attn_impl == "pallas"
-                and isinstance(bias, AttnMask)
+            fusable = (
+                isinstance(bias, AttnMask)
                 and bias.lens is not None
-                and x_kv is None  # kernel assumes q = trailing positions
+                and x_kv is None  # kernels assume q = trailing positions
                 and jax.default_backend() == "tpu"
             )
-            if use_fused:
+            if self.attn_impl == "pallas_out" and fusable and self.quant == "none":
+                # attention + out-projection in ONE kernel: contains the
+                # exp/normalize -> out-proj chain whose lost fusion made
+                # the plain pallas kernel slower end-to-end
+                from conzic_tpu.ops.fused_attention import (
+                    fused_attention_with_out,
+                )
+
+                wo, bo = _DGParams((H, D, E), (E,), name="out")()
+                y = fused_attention_with_out(
+                    q, k, v, wo.reshape(E, E).astype(q.dtype), bo,
+                    bias.lens, causal=True, group=8,
+                ).astype(self.dtype)
+                if residual is not None:
+                    y = y + residual
+                return y
+            if self.attn_impl == "pallas" and fusable:
                 from conzic_tpu.ops.fused_attention import (
                     fused_masked_attention,
                 )

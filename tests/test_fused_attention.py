@@ -121,3 +121,45 @@ def test_fused_attention_rectangular_matches_xla():
             np.asarray(ref)[n, : suffix_valid[n]],
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_fused_attention_with_out_matches_composition():
+    """attention + out-projection kernel == separate attention then
+    projection (interpret mode)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from conzic_tpu.ops.attention import (
+        dot_product_attention,
+        make_attention_bias,
+    )
+    from conzic_tpu.ops.fused_attention import fused_attention_with_out
+
+    rng = np.random.RandomState(0)
+    N, Sq, P, H, D = 6, 5, 3, 2, 8
+    Sk, E = P + Sq, H * 8
+    q = jnp.asarray(rng.randn(N, Sq, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(N, Sk, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(N, Sk, H, D).astype(np.float32))
+    wo = jnp.asarray((rng.randn(E, E) * 0.1).astype(np.float32))
+    bo = jnp.asarray(rng.randn(E).astype(np.float32))
+    suffix_valid = rng.randint(1, Sq + 1, size=(N,))
+    suffix_mask = (np.arange(Sq)[None, :] < suffix_valid[:, None]).astype(
+        np.int32
+    )
+    lens = jnp.asarray(P + suffix_valid, jnp.int32)
+
+    bias_suf = make_attention_bias(jnp.asarray(suffix_mask), Sq, causal=True)
+    bias = jnp.concatenate(
+        [jnp.zeros((*bias_suf.shape[:-1], P), jnp.float32), bias_suf], axis=-1
+    )
+    attn = dot_product_attention(q, k, v, bias=bias)
+    ref = attn.reshape(N, Sq, E) @ wo + bo
+    got = fused_attention_with_out(q, k, v, wo, bo, lens, causal=True,
+                                   group=3, interpret=True)
+    for n in range(N):
+        np.testing.assert_allclose(
+            np.asarray(got)[n, : suffix_valid[n]],
+            np.asarray(ref)[n, : suffix_valid[n]],
+            rtol=1e-4, atol=1e-4,
+        )
