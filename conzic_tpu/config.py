@@ -70,7 +70,7 @@ class ConzicConfig:
     # batches are scanned in chunks of this many rows. 0 disables chunking.
     clip_row_chunk: int = 1600
     clip_len: int = 32  # static CLIP context (<=77); 77 = reference max
-    attn_impl: str = "xla"  # xla | pallas
+    attn_impl: str = "xla"  # xla | twoblock | pallas | pallas_out | xla_bhsd
     mesh_data_axis: int = 1  # chips to shard the (images x samples) batch over
     matmul_precision: str = "default"  # default | high | highest
     scan_layers: bool = False  # nn.scan layers: smaller program, but 3x slower cold compile on this toolchain (see ROADMAP)

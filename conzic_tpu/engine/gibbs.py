@@ -36,7 +36,10 @@ from conzic_tpu import energies
 from conzic_tpu.engine.orders import SPAN_LEN
 from conzic_tpu.models.bert import BertForMaskedLM
 from conzic_tpu.models.clip import CLIPModel
-from conzic_tpu.text.bridge import assemble_clip_ids
+from conzic_tpu.text.bridge import (
+    assemble_clip_ids,
+    assemble_clip_ids_substitute,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -220,8 +223,13 @@ def _position_update(
         )
         prefix_len = 0  # the table-based prefix bound does not apply
     else:
-        clip_ids, clip_mask = assemble_clip_ids(
-            inner,
+        # substitution form: base stream + one edited word per candidate —
+        # avoids the per-candidate scalar-core gathers of the general
+        # assembly (identical outputs, tests/test_bridge.py)
+        clip_ids, clip_mask = assemble_clip_ids_substitute(
+            base_ids[:, 1 : spec.seq_len - 1],
+            idxs,
+            col - 1,
             tables["bridge_ids"],
             tables["bridge_lens"],
             bos_id=spec.clip_bos_id,

@@ -176,6 +176,10 @@ class MultiHeadAttention(nn.Module):
             k = dense_q("key", kv_src)
             v = dense_q("value", kv_src)
         else:
+            # NOTE: a concatenated qkv projection (one (E, 3E) matmul +
+            # slices) was measured 40% SLOWER end-to-end (1.58 vs 2.69
+            # caps/s): the separate projections feed XLA's nested
+            # logits/attention mega-fusions, which the packed form breaks.
             dense = lambda name: nn.DenseGeneral(
                 features=(H, D), dtype=self.dtype, name=name
             )
@@ -194,6 +198,26 @@ class MultiHeadAttention(nn.Module):
             B, P = pk.shape[0], pk.shape[1]
             N = q.shape[0]
             G = N // B
+            if (
+                self.attn_impl == "twoblock"
+                and x_kv is None
+                and not return_kv
+                and self.quant == "none"
+            ):
+                from conzic_tpu.ops.attention import (
+                    two_block_prefix_attention,
+                )
+
+                raw = bias.bias if isinstance(bias, AttnMask) else bias
+                out = two_block_prefix_attention(q, k, v, pk, pv, raw)
+                out = nn.DenseGeneral(
+                    features=E, axis=(-2, -1), dtype=self.dtype, name="out"
+                )(out)
+                if residual is not None:
+                    out = out + residual
+                if return_kv:
+                    return out, (k, v)
+                return out
             pk_b = jnp.broadcast_to(
                 pk.astype(k.dtype)[:, None], (B, G, P, H, D)
             ).reshape(N, P, H, D)

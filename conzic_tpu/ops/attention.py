@@ -83,6 +83,67 @@ def make_attention_bias(
     return bias
 
 
+def two_block_prefix_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pk: jax.Array,
+    pv: jax.Array,
+    bias: Optional[jax.Array],
+) -> jax.Array:
+    """Shared-prefix attention WITHOUT materializing broadcast+concat K/V.
+
+    The standard prefix path broadcasts the per-image prefix K/V to all
+    B*G candidate rows and concatenates onto the suffix keys — real HBM
+    traffic per layer (the broadcasts measure ~5% of device time, plus the
+    concat copies). Here the logits are computed in two blocks — a grouped
+    prefix einsum at image-batch width and the standard suffix einsum —
+    concatenated along the (small, fp32) key axis, softmaxed once, and the
+    value contraction split the same way. Identical math to the concat
+    path (same dots, same softmax over the same key set); only the
+    value-sum association differs (two fp32 partial sums added), which is
+    below bf16 output precision.
+
+    Args:
+      q, k, v: (B*G, S, H, D) suffix projections.
+      pk, pv: (B, P, H, D) shared prefix K/V.
+      bias: additive fp32 bias broadcastable to (B*G, H, S, P+S) —
+        full key width, prefix keys first.
+    """
+    N, S, H, D = q.shape
+    B, P = pk.shape[0], pk.shape[1]
+    G = N // B
+    scale = D ** -0.5
+
+    l_s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                     preferred_element_type=jnp.float32)
+    qg = q.reshape(B, G * S, H, D)
+    l_p = jnp.einsum("bqhd,bphd->bhqp", qg, pk.astype(q.dtype),
+                     preferred_element_type=jnp.float32)
+    l_p = (
+        l_p.reshape(B, H, G, S, P)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(N, H, S, P)
+    )
+    logits = jnp.concatenate([l_p, l_s], axis=-1) * scale
+    if bias is not None:
+        logits = logits + bias
+    w = jax.nn.softmax(logits, axis=-1)
+    w_s = w[..., P:].astype(q.dtype)
+    w_p = w[..., :P].astype(q.dtype)
+    out_s = jnp.einsum("bhqk,bkhd->bqhd", w_s, v,
+                       preferred_element_type=jnp.float32)
+    w_pg = (
+        w_p.reshape(B, G, H, S, P)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, H, G * S, P)
+    )
+    out_p = jnp.einsum("bhqp,bphd->bqhd", w_pg, pv.astype(q.dtype),
+                       preferred_element_type=jnp.float32)
+    out = out_s + out_p.reshape(N, S, H, D)
+    return out.astype(q.dtype)
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,

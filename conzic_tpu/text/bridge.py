@@ -184,3 +184,108 @@ def assemble_clip_ids(
         ids.reshape(*batch_shape, clip_len),
         mask.reshape(*batch_shape, clip_len),
     )
+
+
+def assemble_clip_ids_substitute(
+    base_inner: jax.Array,
+    cand_ids: jax.Array,
+    pos: jax.Array,
+    bridge_ids: jax.Array,
+    bridge_lens: jax.Array,
+    *,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int,
+    clip_len: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Candidate-row assembly specialized to the engine's hot shape.
+
+    The k candidate rows of a Gibbs step differ from the base row at ONE
+    word (``/root/reference/gen_utils.py:71-74``), so instead of running
+    the general per-row assembly over all B*k rows (whose (V, M) table
+    gathers and per-row piece gathers lower to serialized scalar-core ops
+    — measured ~0.9 ms/position), assemble the base piece stream once per
+    image row and compose each candidate as
+    ``prefix pieces | candidate pieces | shifted suffix pieces``
+    with pure vector compares + small-one-hot contractions.
+
+    Args:
+      base_inner: (B, P) int32 — the base caption rows (candidates are
+        substituted at ``pos``; the word there is excluded from the stream).
+      cand_ids: (B, k) int32 — candidate BERT ids for the edited slot.
+      pos: (B,) int32 — edited column, in ``base_inner`` coordinates.
+
+    Returns:
+      (clip_ids, attention_mask): (B, k, clip_len) int32 each — identical
+      to ``assemble_clip_ids`` on the materialized candidate rows.
+    """
+    B, P = base_inner.shape
+    k = cand_ids.shape[1]
+    M = bridge_ids.shape[-1]
+
+    # base stream WITHOUT the edited word: per-image gathers (B*P*M ints)
+    base_pieces = bridge_ids[base_inner]  # (B, P, M)
+    base_lens = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (B, P), 1) == pos[:, None],
+        0,
+        bridge_lens[base_inner],
+    )  # (B, P)
+    ends = jnp.cumsum(base_lens, axis=1)  # (B, P)
+    offs = ends - base_lens
+    total_base = ends[:, -1]  # (B,)
+    off0 = jnp.take_along_axis(ends, pos[:, None], axis=1)[:, 0]  # (B,)
+
+    # flatten the excluded-word stream to (B, clip_len): piece t of row b
+    t = jax.lax.broadcasted_iota(jnp.int32, (clip_len,), 0)
+    p_t = jnp.sum(
+        (ends[:, None, :] <= t[None, :, None]).astype(jnp.int32), axis=2
+    )  # (B, clip_len)
+    p_t = jnp.minimum(p_t, P - 1)
+    m_t = jnp.clip(t[None, :] - jnp.take_along_axis(offs, p_t, axis=1), 0, M - 1)
+    stream = jnp.take_along_axis(
+        base_pieces.reshape(B, P * M), p_t * M + m_t, axis=1
+    )  # (B, clip_len)
+    stream = jnp.where(t[None, :] < total_base[:, None], stream, 0)
+
+    # candidate pieces: (B*k) gathers
+    cand_pieces = bridge_ids[cand_ids]  # (B, k, M)
+    cand_lens = bridge_lens[cand_ids]  # (B, k)
+
+    # compose per candidate: zones in piece space
+    j = jax.lax.broadcasted_iota(jnp.int32, (clip_len,), 0)
+    jw = (j - 1)[None, None, :]  # (1, 1, clip_len)
+    off0_b = off0[:, None, None]
+    Lc = cand_lens[:, :, None]
+    in_cand = (jw >= off0_b) & (jw < off0_b + Lc)
+    shift = jnp.where(jw >= off0_b + Lc, Lc, 0)
+    idx_base = jw - shift  # (B, k, clip_len)
+
+    # small-one-hot contractions (int multiply+sum — vector units only,
+    # never the scalar-core gather path)
+    oh_base = (
+        idx_base[:, :, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (clip_len,), 0)
+    ).astype(jnp.int32)  # (B, k, clip_len, clip_len)
+    base_val = jnp.sum(oh_base * stream[:, None, None, :], axis=-1)
+    idx_cand = jw - off0_b
+    oh_cand = (
+        idx_cand[:, :, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (M,), 0)
+    ).astype(jnp.int32)  # (B, k, clip_len, M)
+    cand_val = jnp.sum(oh_cand * cand_pieces[:, :, None, :], axis=-1)
+    val = jnp.where(in_cand, cand_val, base_val)
+
+    total = total_base[:, None, None] + Lc  # (B, k, 1)
+    eos_pos = jnp.minimum(1 + total, clip_len - 1)
+    jb = j[None, None, :]
+    out = jnp.where(
+        jb == 0,
+        bos_id,
+        jnp.where(
+            jb == eos_pos,
+            eos_id,
+            jnp.where((jw >= 0) & (jw < total) & (jb < eos_pos), val, pad_id),
+        ),
+    ).astype(jnp.int32)
+    mask = (jb <= eos_pos).astype(jnp.int32)
+    return out, jnp.broadcast_to(mask, (B, k, clip_len))

@@ -259,3 +259,64 @@ def test_host_stepped_exact_sentiment_control(monkeypatch):
     np.testing.assert_allclose(
         results[True].iter_ctl, results[False].iter_ctl, rtol=0, atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# substitution-form candidate assembly == general assembly on materialized rows
+# ---------------------------------------------------------------------------
+
+
+def test_substitute_assembly_matches_general(toks):
+    """The engine's hot-path assembly (base stream + one edited word,
+    conzic_tpu.text.bridge.assemble_clip_ids_substitute) must be identical
+    to running the general per-row assembly over the materialized candidate
+    rows — including truncation, zero-length (special) words, and edits at
+    every position."""
+    wp, bpe = toks
+    import jax.numpy as jnp
+
+    from conzic_tpu.text.bridge import assemble_clip_ids_substitute
+
+    bridge = build_bridge_table(wp, bpe)
+    rng = np.random.RandomState(0)
+    V = bridge.vocab_size
+    B, k, P = 3, 7, 9
+    base = rng.randint(0, V, size=(B, P)).astype(np.int32)
+    # sprinkle specials (len-0 words) into the base rows
+    base[0, 2] = wp.mask_token_id
+    base[1, 0] = wp.pad_token_id
+    cand = rng.randint(0, V, size=(B, k)).astype(np.int32)
+
+    for clip_len in (12, 32):  # 12 forces truncation on multi-piece words
+        for pos_val in (0, 3, P - 1):
+            pos = np.full((B,), pos_val, np.int32)
+            got_ids, got_mask = assemble_clip_ids_substitute(
+                jnp.asarray(base),
+                jnp.asarray(cand),
+                jnp.asarray(pos),
+                jnp.asarray(bridge.ids),
+                jnp.asarray(bridge.lens),
+                bos_id=bridge.bos_id,
+                eos_id=bridge.eos_id,
+                pad_id=bridge.pad_id,
+                clip_len=clip_len,
+            )
+            rows = np.repeat(base[:, None, :], k, axis=1)
+            rows[:, :, pos_val] = cand
+            ref_ids, ref_mask = assemble_clip_ids(
+                jnp.asarray(rows),
+                jnp.asarray(bridge.ids),
+                jnp.asarray(bridge.lens),
+                bos_id=bridge.bos_id,
+                eos_id=bridge.eos_id,
+                pad_id=bridge.pad_id,
+                clip_len=clip_len,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_ids), np.asarray(ref_ids),
+                err_msg=f"clip_len={clip_len} pos={pos_val}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got_mask), np.asarray(ref_mask),
+                err_msg=f"clip_len={clip_len} pos={pos_val}",
+            )

@@ -121,3 +121,15 @@ def test_shared_prefix_encode_matches_full():
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(pref), rtol=0, atol=1e-5
     )
+
+
+def test_twoblock_prefix_attention_matches_concat_path():
+    """attn_impl="twoblock" computes shared-prefix attention without the
+    broadcast+concat K/V materialization (ops/attention.py
+    two_block_prefix_attention). Same dots, same softmax — generations
+    must match the standard path."""
+    base = _generate(_make_captioner(kv_chunk_size=16))
+    two = _generate(_make_captioner(kv_chunk_size=16, attn_impl="twoblock"))
+    assert base.gen_texts_list == two.gen_texts_list
+    np.testing.assert_array_equal(base.iter_ids, two.iter_ids)
+    np.testing.assert_allclose(base.best_cos, two.best_cos, rtol=0, atol=5e-6)
