@@ -16,7 +16,7 @@ sides run full-architecture randomly initialized models over a synthetic
     in .bench_baseline.json. The reference itself supports only
     cuda|cpu (demo.py:20-21); torch-cpu is its runnable config here.
 
-Env knobs: CONZIC_BENCH_BATCH (default 4), CONZIC_BENCH_K (200),
+Env knobs: CONZIC_BENCH_BATCH (default 32), CONZIC_BENCH_K (200),
 CONZIC_BENCH_ITERS (15), CONZIC_BENCH_SKIP_TORCH=1 to reuse/skip baseline.
 """
 
@@ -30,13 +30,13 @@ import numpy as np
 SENTENCE_LEN = 10
 ITERS = int(os.environ.get("CONZIC_BENCH_ITERS", "15"))
 K = int(os.environ.get("CONZIC_BENCH_K", "200"))
-BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "32"))
 PRUNE = int(os.environ.get("CONZIC_BENCH_PRUNE", "0")) or None
 CLIP_LEN = int(os.environ.get("CONZIC_BENCH_CLIP_LEN", "24"))
 ATTN = os.environ.get("CONZIC_BENCH_ATTN", "xla")
 PARAM_DTYPE = os.environ.get("CONZIC_BENCH_PARAM_DTYPE", "bfloat16")
 KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
-ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "1600"))
+ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 PROMPT = "Image of a"

@@ -68,7 +68,11 @@ class ConzicConfig:
     # candidate CLIP rows per text-tower pass: batches beyond ~2-3k rows hit
     # an XLA regime with heavy layout copies (ROADMAP #1); larger B*k
     # batches are scanned in chunks of this many rows. 0 disables chunking.
-    clip_row_chunk: int = 1600
+    # Sweep (ROADMAP r2 s3): ~800 rows/pass is the plateau start across
+    # B=8..32 (B=32: rc 1600 -> 2.94, 800 -> 3.08, 400/200 flat; B=8:
+    # 1600 -> 2.79, 800 -> 2.92); B=64 measured better at 1600 — tune
+    # this flag for unusual batch sizes.
+    clip_row_chunk: int = 800
     clip_len: int = 32  # static CLIP context (<=77); 77 = reference max
     attn_impl: str = "xla"  # xla | twoblock | pallas | pallas_out | xla_bhsd
     mesh_data_axis: int = 1  # chips to shard the (images x samples) batch over

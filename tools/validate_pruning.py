@@ -74,8 +74,15 @@ def main():
     p.add_argument("--k", type=int, default=200)
     p.add_argument("--clip_len", type=int, default=24)
     p.add_argument("--out", default=MATRIX_PATH)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon TPU plugin "
+                        "overrides JAX_PLATFORMS; see CLAUDE.md)")
     args = p.parse_args()
 
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from conzic_tpu.api.demo import build_captioner
