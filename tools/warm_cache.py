@@ -35,7 +35,7 @@ def main():
 
     configs = [
         # (order, B, k, iters, max_len, ctl)
-        ("sequential", 4, 200, 15, 10, None),  # bench headline
+        ("sequential", 32, 200, 15, 10, None),  # bench headline
     ]
     if not args.quick:
         configs += [
