@@ -34,6 +34,37 @@ def masked_lm_probs(
     return probs * token_mask
 
 
+def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
+    """Exact top-k over a large minor axis via per-chunk top-k + merge.
+
+    Splitting into ~``chunk``-wide blocks is EXACT: every global top-k
+    element is in its own block's top-k, and tie order is preserved —
+    ``lax.top_k`` returns the lower index first among equal values,
+    blocks are concatenated in index order, and the merge pass keeps
+    first-occurrence among equals — so the result is identical to the
+    single-call form, selection order included
+    (tests/test_engine.py::test_exact_topk_2stage_identical_to_full_topk).
+
+    MEASURED SLOWER end-to-end than the single TopK custom call on this
+    toolchain (full tier 3.06 vs 3.09 caps/s, pruned 10.29 vs 10.66)
+    despite the call showing ~420 us/position in traces — kept as a
+    tested utility, NOT used by the engine.
+    """
+    B, V = probs.shape
+    n_chunks = V // chunk
+    if n_chunks < 2 or k > chunk // 2:
+        return jax.lax.top_k(probs, k)
+    pad = (-V) % n_chunks
+    if pad:
+        probs = jnp.pad(probs, ((0, 0), (0, pad)), constant_values=-1.0)
+    Vc = (V + pad) // n_chunks
+    v1, i1 = jax.lax.top_k(probs.reshape(B, n_chunks, Vc), k)  # (B, C, k)
+    gi = i1 + (jnp.arange(n_chunks, dtype=i1.dtype) * Vc)[None, :, None]
+    v2, sel = jax.lax.top_k(v1.reshape(B, n_chunks * k), k)
+    idxs = jnp.take_along_axis(gi.reshape(B, n_chunks * k), sel, axis=-1)
+    return v2, idxs
+
+
 def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int):
     """Top-k of masked probs; candidate ids with zero mask collapse to 0
     ([PAD]) exactly like the reference's ``(idxs * mask[idxs]).long()``

@@ -613,3 +613,25 @@ def test_permuted_orders_match_naive_host_loop(captioner, order):
         rtol=1e-4, atol=1e-5,
     )
     assert result.gen_texts_list[-1] == ref_best
+
+
+def test_exact_topk_2stage_identical_to_full_topk():
+    """The chunked top-k (energies.exact_topk_2stage) must equal the
+    single-call lax.top_k bit for bit — values, indices, AND tie order —
+    on the full 30,522 vocab with heavy ties (quantized probs + a large
+    zero band, the structure masked probs actually have)."""
+    rng = np.random.RandomState(0)
+    V, B, k = 30522, 4, 200
+    p = rng.rand(B, V).astype(np.float32)
+    p = np.round(p * 8) / 8
+    p[:, 5000:20000] = 0.0
+    a_v, a_i = jax.lax.top_k(jnp.asarray(p), k)
+    b_v, b_i = energies.exact_topk_2stage(jnp.asarray(p), k)
+    np.testing.assert_array_equal(np.asarray(a_v), np.asarray(b_v))
+    np.testing.assert_array_equal(np.asarray(a_i), np.asarray(b_i))
+    # small-vocab fallback path stays the plain call
+    sp = rng.rand(2, 64).astype(np.float32)
+    c_v, c_i = energies.exact_topk_2stage(jnp.asarray(sp), 8)
+    d_v, d_i = jax.lax.top_k(jnp.asarray(sp), 8)
+    np.testing.assert_array_equal(np.asarray(c_v), np.asarray(d_v))
+    np.testing.assert_array_equal(np.asarray(c_i), np.asarray(d_i))
