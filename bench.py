@@ -37,6 +37,7 @@ ATTN = os.environ.get("CONZIC_BENCH_ATTN", "xla")
 PARAM_DTYPE = os.environ.get("CONZIC_BENCH_PARAM_DTYPE", "bfloat16")
 KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
 ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
+TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "4000"))
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 PROMPT = "Image of a"
@@ -64,6 +65,7 @@ def build_captioner():
     cfg.param_dtype = PARAM_DTYPE if on_tpu else "float32"
     cfg.kv_chunk_size = KV_CHUNK
     cfg.clip_row_chunk = ROW_CHUNK
+    cfg.clip_token_budget = TOKEN_BUDGET
     cfg.quant = QUANT if on_tpu else "none"
     return Captioner.from_random(
         config=cfg,

@@ -73,6 +73,11 @@ class ConzicConfig:
     # 1600 -> 2.79, 800 -> 2.92); B=64 measured better at 1600 — tune
     # this flag for unusual batch sizes.
     clip_row_chunk: int = 800
+    # long contexts (clip_len > 48) further cap the scoring chunk to
+    # ~this many tokens per pass (0 disables the cap). Sweep at
+    # clip_len=77/B=8 (r2 s3): 4000 -> 0.441, 8000 -> 0.402,
+    # 16000 -> 0.469, 32000 -> 0.364, uncapped -> 0.311 caps/s.
+    clip_token_budget: int = 16000
     clip_len: int = 32  # static CLIP context (<=77); 77 = reference max
     attn_impl: str = "xla"  # xla | twoblock | pallas | pallas_out | xla_bhsd
     mesh_data_axis: int = 1  # chips to shard the (images x samples) batch over
@@ -136,6 +141,8 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                         "host callback (byte-exact, incl. '##' merging)")
     p.add_argument("--kv_chunk_size", type=int, default=d.kv_chunk_size)
     p.add_argument("--clip_row_chunk", type=int, default=d.clip_row_chunk)
+    p.add_argument("--clip_token_budget", type=int,
+                   default=d.clip_token_budget)
     p.add_argument("--clip_len", type=int, default=d.clip_len)
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
                    choices=["xla", "xla_bhsd", "pallas", "pallas_out"])

@@ -443,12 +443,11 @@ class Captioner:
               prune_k=None, prefix_chunks=None) -> EngineSpec:
         exact = self.cfg.bridge_mode == "exact"
         row_chunk = self.cfg.clip_row_chunk
-        if row_chunk and self.cfg.clip_len > 48:
-            # long-context regime: XLA's plans go copy-heavy well before the
-            # 1600-row mark; measured sweep at clip_len=77 (ROADMAP r2):
-            # ~100 rows -> 0.389, 50 -> 0.431, 25 -> 0.420 caps/s, so chunk
-            # to a ~4000-token budget
-            row_chunk = min(row_chunk, max(1, 4000 // self.cfg.clip_len))
+        budget = self.cfg.clip_token_budget
+        if row_chunk and budget and self.cfg.clip_len > 48:
+            # long-context regime: chunk scoring passes to a token budget
+            # (sweep-tuned; see config.clip_token_budget)
+            row_chunk = min(row_chunk, max(1, budget // self.cfg.clip_len))
         return EngineSpec(
             seed_len=seed_len,
             sentence_len=max_len,

@@ -320,3 +320,52 @@ def test_substitute_assembly_matches_general(toks):
                 np.asarray(got_mask), np.asarray(ref_mask),
                 err_msg=f"clip_len={clip_len} pos={pos_val}",
             )
+
+
+def test_substitute_assembly_fuzz(toks):
+    """Randomized sweep of the substitution assembly vs the general path:
+    random base rows (with specials mixed in), random candidate sets,
+    random edit positions and clip_lens."""
+    wp, bpe = toks
+    import jax.numpy as jnp
+
+    from conzic_tpu.text.bridge import assemble_clip_ids_substitute
+
+    bridge = build_bridge_table(wp, bpe)
+    rng = np.random.RandomState(123)
+    V = bridge.vocab_size
+    specials = [wp.pad_token_id, wp.mask_token_id, wp.cls_token_id,
+                wp.sep_token_id]
+    for trial in range(8):
+        B = int(rng.randint(1, 5))
+        k = int(rng.randint(1, 9))
+        P = int(rng.randint(2, 14))
+        clip_len = int(rng.randint(8, 40))
+        base = rng.randint(0, V, size=(B, P)).astype(np.int32)
+        # mix specials into ~20% of slots
+        mask = rng.rand(B, P) < 0.2
+        base[mask] = rng.choice(specials, size=int(mask.sum()))
+        cand = rng.randint(0, V, size=(B, k)).astype(np.int32)
+        pos = rng.randint(0, P, size=(B,)).astype(np.int32)
+        got_ids, got_mask = assemble_clip_ids_substitute(
+            jnp.asarray(base), jnp.asarray(cand), jnp.asarray(pos),
+            jnp.asarray(bridge.ids), jnp.asarray(bridge.lens),
+            bos_id=bridge.bos_id, eos_id=bridge.eos_id,
+            pad_id=bridge.pad_id, clip_len=clip_len,
+        )
+        rows = np.repeat(base[:, None, :], k, axis=1)
+        rows[np.arange(B), :, pos] = cand
+        ref_ids, ref_mask = assemble_clip_ids(
+            jnp.asarray(rows),
+            jnp.asarray(bridge.ids), jnp.asarray(bridge.lens),
+            bos_id=bridge.bos_id, eos_id=bridge.eos_id,
+            pad_id=bridge.pad_id, clip_len=clip_len,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_ids), np.asarray(ref_ids),
+            err_msg=f"trial={trial} B={B} k={k} P={P} len={clip_len}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_mask), np.asarray(ref_mask),
+            err_msg=f"trial={trial}",
+        )
