@@ -17,7 +17,10 @@ sides run full-architecture randomly initialized models over a synthetic
     cuda|cpu (demo.py:20-21); torch-cpu is its runnable config here.
 
 Env knobs: CONZIC_BENCH_BATCH (default 32), CONZIC_BENCH_K (200),
-CONZIC_BENCH_ITERS (15), CONZIC_BENCH_SKIP_TORCH=1 to reuse/skip baseline.
+CONZIC_BENCH_ITERS (15), CONZIC_BENCH_CLIP_LEN (24), CONZIC_BENCH_ROW_CHUNK
+(800), CONZIC_BENCH_TOKEN_BUDGET (16000, long contexts), CONZIC_BENCH_PRUNE,
+CONZIC_BENCH_QUANT, CONZIC_BENCH_ATTN, CONZIC_BENCH_PARAM_DTYPE,
+CONZIC_BENCH_KV_CHUNK, CONZIC_BENCH_SKIP_TORCH=1 to reuse/skip baseline.
 """
 
 import json
@@ -37,7 +40,7 @@ ATTN = os.environ.get("CONZIC_BENCH_ATTN", "xla")
 PARAM_DTYPE = os.environ.get("CONZIC_BENCH_PARAM_DTYPE", "bfloat16")
 KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
 ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
-TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "4000"))
+TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "16000"))
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 PROMPT = "Image of a"

@@ -145,7 +145,8 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    default=d.clip_token_budget)
     p.add_argument("--clip_len", type=int, default=d.clip_len)
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
-                   choices=["xla", "xla_bhsd", "pallas", "pallas_out"])
+                   choices=["xla", "twoblock", "xla_bhsd", "pallas",
+                            "pallas_out"])
     p.add_argument("--mesh_data_axis", type=int, default=d.mesh_data_axis)
 
 

@@ -56,7 +56,10 @@ def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
         return jax.lax.top_k(probs, k)
     pad = (-V) % n_chunks
     if pad:
-        probs = jnp.pad(probs, ((0, 0), (0, pad)), constant_values=-1.0)
+        probs = jnp.pad(
+            probs, ((0, 0), (0, pad)),
+            constant_values=jnp.finfo(probs.dtype).min,
+        )
     Vc = (V + pad) // n_chunks
     v1, i1 = jax.lax.top_k(probs.reshape(B, n_chunks, Vc), k)  # (B, C, k)
     gi = i1 + (jnp.arange(n_chunks, dtype=i1.dtype) * Vc)[None, :, None]

@@ -209,60 +209,61 @@ class MultiHeadAttention(nn.Module):
                 )
 
                 raw = bias.bias if isinstance(bias, AttnMask) else bias
+                # shared out-projection/residual tail below applies
                 out = two_block_prefix_attention(q, k, v, pk, pv, raw)
-                out = nn.DenseGeneral(
-                    features=E, axis=(-2, -1), dtype=self.dtype, name="out"
-                )(out)
-                if residual is not None:
-                    out = out + residual
-                if return_kv:
-                    return out, (k, v)
-                return out
-            pk_b = jnp.broadcast_to(
-                pk.astype(k.dtype)[:, None], (B, G, P, H, D)
-            ).reshape(N, P, H, D)
-            pv_b = jnp.broadcast_to(
-                pv.astype(v.dtype)[:, None], (B, G, P, H, D)
-            ).reshape(N, P, H, D)
-            k = jnp.concatenate([pk_b, k], axis=1)
-            v = jnp.concatenate([pv_b, v], axis=1)
-            fusable = (
-                isinstance(bias, AttnMask)
-                and bias.lens is not None
-                and x_kv is None  # kernels assume q = trailing positions
-                and jax.default_backend() == "tpu"
-            )
-            if self.attn_impl == "pallas_out" and fusable and self.quant == "none":
-                # attention + out-projection in ONE kernel: contains the
-                # exp/normalize -> out-proj chain whose lost fusion made
-                # the plain pallas kernel slower end-to-end
-                from conzic_tpu.ops.fused_attention import (
-                    fused_attention_with_out,
-                )
-
-                wo, bo = _DGParams((H, D, E), (E,), name="out")()
-                y = fused_attention_with_out(
-                    q, k, v, wo.reshape(E, E).astype(q.dtype), bo,
-                    bias.lens, causal=True, group=8,
-                ).astype(self.dtype)
-                if residual is not None:
-                    y = y + residual
-                return y
-            if self.attn_impl == "pallas" and fusable:
-                from conzic_tpu.ops.fused_attention import (
-                    fused_masked_attention,
-                )
-
-                # group=8 and group=32 measure identically end-to-end
-                # (1.52 caps/s): the kernel cost is not grid dispatch but
-                # the lost exp/normalize->out-projection fusion
-                out = fused_masked_attention(
-                    q, k, v, bias.lens, causal=True, group=8
-                )
             else:
-                raw_bias = bias.bias if isinstance(bias, AttnMask) else bias
-                impl = "xla_bhsd" if self.attn_impl == "xla_bhsd" else "xla"
-                out = dot_product_attention(q, k, v, bias=raw_bias, impl=impl)
+                pk_b = jnp.broadcast_to(
+                    pk.astype(k.dtype)[:, None], (B, G, P, H, D)
+                ).reshape(N, P, H, D)
+                pv_b = jnp.broadcast_to(
+                    pv.astype(v.dtype)[:, None], (B, G, P, H, D)
+                ).reshape(N, P, H, D)
+                k = jnp.concatenate([pk_b, k], axis=1)
+                v = jnp.concatenate([pv_b, v], axis=1)
+                fusable = (
+                    isinstance(bias, AttnMask)
+                    and bias.lens is not None
+                    and x_kv is None  # kernels assume q = trailing positions
+                    and jax.default_backend() == "tpu"
+                )
+                if (self.attn_impl == "pallas_out" and fusable
+                        and self.quant == "none"):
+                    # attention + out-projection in ONE kernel: contains the
+                    # exp/normalize -> out-proj chain whose lost fusion made
+                    # the plain pallas kernel slower end-to-end
+                    from conzic_tpu.ops.fused_attention import (
+                        fused_attention_with_out,
+                    )
+
+                    wo, bo = _DGParams((H, D, E), (E,), name="out")()
+                    y = fused_attention_with_out(
+                        q, k, v, wo.reshape(E, E).astype(q.dtype), bo,
+                        bias.lens, causal=True, group=8,
+                    ).astype(self.dtype)
+                    if residual is not None:
+                        y = y + residual
+                    return y
+                if self.attn_impl == "pallas" and fusable:
+                    from conzic_tpu.ops.fused_attention import (
+                        fused_masked_attention,
+                    )
+
+                    # group=8 and group=32 measure identically end-to-end
+                    # (1.52 caps/s): the kernel cost is not grid dispatch
+                    # but the lost exp/normalize->out-projection fusion
+                    out = fused_masked_attention(
+                        q, k, v, bias.lens, causal=True, group=8
+                    )
+                else:
+                    raw_bias = (
+                        bias.bias if isinstance(bias, AttnMask) else bias
+                    )
+                    impl = (
+                        "xla_bhsd" if self.attn_impl == "xla_bhsd" else "xla"
+                    )
+                    out = dot_product_attention(
+                        q, k, v, bias=raw_bias, impl=impl
+                    )
         else:
             impl = self.attn_impl if self.attn_impl != "pallas_block" else "xla"
             if isinstance(bias, AttnMask):
