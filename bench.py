@@ -200,6 +200,11 @@ def check_prune_quality():
         return
     with open(path) as f:
         matrix = json.load(f)
+    if not any(k.endswith(f"/prune{PRUNE}") for k in matrix.get("cells", {})):
+        print(f"WARNING: PRUNING_MATRIX.json has no cell for prune_k={PRUNE} "
+              f"— this operating point's quality is unmeasured "
+              f"(tools/validate_pruning.py --matrix --merge adds it).",
+              file=sys.stderr)
     worst = matrix.get("worst_best_cosine_delta")
     if worst is not None and worst > 0.01:
         print(f"WARNING: pruning quality matrix reports worst best-cosine "

@@ -74,6 +74,9 @@ def main():
     p.add_argument("--k", type=int, default=200)
     p.add_argument("--clip_len", type=int, default=24)
     p.add_argument("--out", default=MATRIX_PATH)
+    p.add_argument("--merge", action="store_true",
+                   help="keep existing cells in --out and only run the "
+                        "missing ones")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon TPU plugin "
                         "overrides JAX_PLATFORMS; see CLAUDE.md)")
@@ -115,11 +118,19 @@ def main():
         return
 
     cells = {}
+    if args.merge and os.path.exists(args.out):
+        with open(args.out) as f:
+            cells = json.load(f).get("cells", {})
     # prune_k sweep on the headline order, plus every order and both
     # control modes at the default prune_k (VERDICT r1 item 8)
-    jobs = [("sequential", None, pk) for pk in (20, 40, 80)]
+    jobs = [("sequential", None, pk) for pk in (10, 20, 40, 80)]
     jobs += [(o, None, args.prune_k) for o in ("shuffle", "span", "random")]
     jobs += [("sequential", c, args.prune_k) for c in ("sentiment", "pos")]
+    if args.merge:
+        jobs = [
+            (o, c, pk) for o, c, pk in jobs
+            if f"{o}/{c or 'free'}/prune{pk}" not in cells
+        ]
     for order, ctl, pk in jobs:
         key = f"{order}/{ctl or 'free'}/prune{pk}"
         print(f"--- {key}", flush=True)
