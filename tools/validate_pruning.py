@@ -123,7 +123,7 @@ def main():
             cells = json.load(f).get("cells", {})
     # prune_k sweep on the headline order, plus every order and both
     # control modes at the default prune_k (VERDICT r1 item 8)
-    jobs = [("sequential", None, pk) for pk in (10, 20, 40, 80)]
+    jobs = [("sequential", None, pk) for pk in (5, 10, 20, 40, 80)]
     jobs += [(o, None, args.prune_k) for o in ("shuffle", "span", "random")]
     jobs += [("sequential", c, args.prune_k) for c in ("sentiment", "pos")]
     if args.merge:
