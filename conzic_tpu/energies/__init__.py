@@ -61,6 +61,10 @@ def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
             constant_values=jnp.finfo(probs.dtype).min,
         )
     Vc = (V + pad) // n_chunks
+    # NOTE: on 3-D input this lowers to a batched sort (~1.9 ms/position
+    # at B=128) rather than the TopK custom call — and that is FASTER
+    # than reshaping to 2-D to engage the call (52.5 vs 51.8 caps/s at
+    # prune5/B=128); keep the 3-D form
     v1, i1 = jax.lax.top_k(probs.reshape(B, n_chunks, Vc), k)  # (B, C, k)
     gi = i1 + (jnp.arange(n_chunks, dtype=i1.dtype) * Vc)[None, :, None]
     v2, sel = jax.lax.top_k(v1.reshape(B, n_chunks * k), k)
