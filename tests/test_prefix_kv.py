@@ -133,3 +133,22 @@ def test_twoblock_prefix_attention_matches_concat_path():
     assert base.gen_texts_list == two.gen_texts_list
     np.testing.assert_array_equal(base.iter_ids, two.iter_ids)
     np.testing.assert_allclose(base.best_cos, two.best_cos, rtol=0, atol=5e-6)
+
+
+def test_long_context_token_budget_rule():
+    """clip_len > 48 caps the scoring row chunk to ~clip_token_budget
+    tokens per pass (sampler._spec); the cap is off at short contexts,
+    configurable, and disabled by budget=0."""
+    cap = _make_captioner(clip_row_chunk=800, clip_token_budget=16000)
+    init_row = cap.init_ids("Image of a", 5, 1)
+    seed_len = init_row.shape[1] - 5 - 1
+
+    def chunk_at(clip_len, budget):
+        cap.cfg.clip_len = clip_len
+        cap.cfg.clip_token_budget = budget
+        return cap._spec(seed_len, 5, 12, "single", None, False).clip_row_chunk
+
+    assert chunk_at(32, 16000) == 800          # short context: no cap
+    assert chunk_at(77, 16000) == 16000 // 77  # long context: capped
+    assert chunk_at(77, 4000) == 4000 // 77
+    assert chunk_at(77, 0) == 800              # budget disabled
