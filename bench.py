@@ -42,6 +42,7 @@ KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
 ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
 TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "16000"))
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
+XLA_OPTIONS = os.environ.get("CONZIC_BENCH_XLA_OPTIONS", "")
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 PROMPT = "Image of a"
 
@@ -70,6 +71,7 @@ def build_captioner():
     cfg.clip_row_chunk = ROW_CHUNK
     cfg.clip_token_budget = TOKEN_BUDGET
     cfg.quant = QUANT if on_tpu else "none"
+    cfg.compiler_options = XLA_OPTIONS
     return Captioner.from_random(
         config=cfg,
         bert_config=BertConfig(),

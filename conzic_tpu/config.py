@@ -80,6 +80,10 @@ class ConzicConfig:
     clip_token_budget: int = 16000
     clip_len: int = 32  # static CLIP context (<=77); 77 = reference max
     attn_impl: str = "xla"  # xla | twoblock | pallas | pallas_out | xla_bhsd
+    # extra XLA compiler options for the engine program, "k=v,k=v" (e.g.
+    # "xla_tpu_scoped_vmem_limit_kib=65536"). Empty = toolchain defaults.
+    # Sweep results: tools/flag_sweep.py -> XLA_FLAG_SWEEP.json.
+    compiler_options: str = ""
     mesh_data_axis: int = 1  # chips to shard the (images x samples) batch over
     matmul_precision: str = "default"  # default | high | highest
     scan_layers: bool = False  # nn.scan layers: smaller program, but 3x slower cold compile on this toolchain (see ROADMAP)
@@ -148,6 +152,8 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    choices=["xla", "twoblock", "xla_bhsd", "pallas",
                             "pallas_out"])
     p.add_argument("--mesh_data_axis", type=int, default=d.mesh_data_axis)
+    p.add_argument("--compiler_options", type=str, default=d.compiler_options,
+                   help="extra XLA options for the engine program, k=v,k=v")
 
 
 def config_from_args(args: argparse.Namespace) -> ConzicConfig:

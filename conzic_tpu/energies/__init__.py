@@ -81,9 +81,11 @@ def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int):
     (measured, prune5 caps/s single-call vs chunked: B=32 full tier
     3.09/3.06; B=64 47.3/42.9; B=128 51.0/52.5 — the call costs
     2.77 ms/position there, 18% of the runtime; B=256 51.8/50.3).
-    The crossover sits around B=128; both forms are exact (identical
-    results incl. tie order, tests/test_engine.py)."""
-    if probs.shape[0] >= 128:
+    The chunked form wins only in a WINDOW around B=128 — the single
+    call is faster again at B=256 — so the gate is the measured window,
+    not open-ended (ADVICE r2). Both forms are exact (identical results
+    incl. tie order, tests/test_engine.py)."""
+    if 128 <= probs.shape[0] < 256:
         top_probs, idxs = exact_topk_2stage(probs, k)
     else:
         top_probs, idxs = jax.lax.top_k(probs, k)

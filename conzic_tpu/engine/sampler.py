@@ -467,6 +467,18 @@ class Captioner:
             exact_bridge=exact,
         )
 
+    def _compiler_options(self) -> Optional[Dict[str, str]]:
+        """Parse ``cfg.compiler_options`` ("k=v,k=v") for the engine jit."""
+        s = (self.cfg.compiler_options or "").strip()
+        if not s:
+            return None
+        out = {}
+        for kv in s.split(","):
+            k, _, v = kv.partition("=")
+            if k.strip():
+                out[k.strip()] = v.strip()
+        return out or None
+
     def _compiled(self, spec: EngineSpec):
         fn = self._jit_cache.get(spec)
         if fn is None:
@@ -479,7 +491,8 @@ class Captioner:
                 functools.partial(
                     run_generation, spec, self.bert_model, self.clip_model,
                     host_bridge=host_bridge,
-                )
+                ),
+                compiler_options=self._compiler_options(),
             )
             self._jit_cache[spec] = fn
         return fn

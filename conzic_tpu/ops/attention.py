@@ -104,6 +104,12 @@ def two_block_prefix_attention(
     value-sum association differs (two fp32 partial sums added), which is
     below bf16 output precision.
 
+    MEASURED 50% SLOWER end-to-end (1.38 vs 2.79 caps/s at the r2
+    headline config): the explicit concat + 5-D transposes perturb the
+    attention-neighborhood mega-fusions — the fusion-preservation lesson
+    (CLAUDE.md / ROADMAP). Kept as a tested opt-in (``attn_impl
+    "twoblock"``) for other toolchains; do not re-measure blind.
+
     Args:
       q, k, v: (B*G, S, H, D) suffix projections.
       pk, pv: (B, P, H, D) shared prefix K/V.

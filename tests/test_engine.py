@@ -635,3 +635,40 @@ def test_exact_topk_2stage_identical_to_full_topk():
     d_v, d_i = jax.lax.top_k(jnp.asarray(sp), 8)
     np.testing.assert_array_equal(np.asarray(c_v), np.asarray(d_v))
     np.testing.assert_array_equal(np.asarray(c_i), np.asarray(d_i))
+
+
+def test_generate_step_modes():
+    """generate_step (engine/primitives.py) reproduces the reference's
+    three modes (gen_utils.py:10-31): greedy argmax, top-k categorical
+    restricted to the top-k set, and full categorical."""
+    from conzic_tpu.engine.primitives import generate_step
+
+    rng = np.random.RandomState(3)
+    out = jnp.asarray(rng.randn(5, 7, 50).astype(np.float32))
+    # greedy (no rng needed): argmax of the selected position
+    greedy = np.asarray(generate_step(out, 2))
+    np.testing.assert_array_equal(greedy, np.argmax(np.asarray(out)[:, 2], -1))
+    # temperature does not change the argmax
+    np.testing.assert_array_equal(
+        np.asarray(generate_step(out, 2, temperature=0.3)), greedy
+    )
+    # top-k sampling only ever picks ids inside the per-row top-k set
+    key = jax.random.PRNGKey(0)
+    topk_sets = np.asarray(jax.lax.top_k(out[:, 4], 5)[1])
+    for s in range(8):
+        ids = np.asarray(generate_step(out, 4, jax.random.fold_in(key, s),
+                                       top_k=5))
+        assert all(ids[b] in topk_sets[b] for b in range(ids.shape[0]))
+    # full-categorical sampling returns valid ids and, at tiny temperature,
+    # collapses to the argmax (distribution sanity)
+    ids = np.asarray(
+        generate_step(out, 0, key, temperature=1e-4, sample=True)
+    )
+    np.testing.assert_array_equal(ids, np.argmax(np.asarray(out)[:, 0], -1))
+    # rng is required for the stochastic modes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        generate_step(out, 1, top_k=3)
+    with _pytest.raises(ValueError):
+        generate_step(out, 1, sample=True)

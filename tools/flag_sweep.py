@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""XLA compiler-option sweep on the headline engine program.
+
+VERDICT r2 item 2a: the full-parity engine sits at ~58% of its exact-FLOP
+ceiling with the residual in attention-neighborhood fusions; compiler-level
+tuning was the untried cheap lever. This tool runs ``bench.py`` in a fresh
+subprocess per option set (CONZIC_BENCH_XLA_OPTIONS -> ConzicConfig
+.compiler_options -> jax.jit(compiler_options=...)) and merges results into
+``XLA_FLAG_SWEEP.json`` as they land, so a partial sweep is still useful.
+
+Serialize on the one TPU: never run this concurrently with other TPU work
+(CLAUDE.md). Invalid option names fail the subprocess; the failure is
+recorded and the sweep continues.
+
+Usage: python tools/flag_sweep.py [--only name1,name2] [--batch 32]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "XLA_FLAG_SWEEP.json")
+
+# Option sets to try. Targets, per the trace-attributed budget (ROADMAP):
+# fusion sizing (scoped vmem), scheduling (latency hiding), dot/layout
+# choices (strength reduction, dot-dot fusion), and the memory-bound-loop
+# optimizer (the engine is a scan over positions).
+CONFIGS = {
+    "base": "",
+    "vmem32": "xla_tpu_scoped_vmem_limit_kib=32768",
+    "vmem64": "xla_tpu_scoped_vmem_limit_kib=65536",
+    "vmem96": "xla_tpu_scoped_vmem_limit_kib=98304",
+    "lhs": "xla_tpu_enable_latency_hiding_scheduler=true",
+    "mbl_off": "xla_tpu_memory_bound_loop_optimizer_options=enabled:false",
+    "no_dsr": "xla_tpu_enable_dot_strength_reduction=false",
+    "dot_dot": "xla_tpu_dot_dot_fusion=true",
+    "licm2": "xla_tpu_licm_size_inflation_ratio=2.0",
+    "fusion_cost": "xla_tpu_use_lp_fusion_metrics=true",
+    "async_scale": "xla_tpu_async_copy_bandwidth_scaling_factor=2.0",
+    "vmem64_lhs": (
+        "xla_tpu_scoped_vmem_limit_kib=65536,"
+        "xla_tpu_enable_latency_hiding_scheduler=true"
+    ),
+}
+
+
+def load():
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            return json.load(f)
+    return {"configs": {}, "batch": None}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default="")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--timeout", type=int, default=2400)
+    ap.add_argument("--rerun", action="store_true",
+                    help="re-measure configs already in the output file")
+    args = ap.parse_args()
+
+    names = (
+        [n.strip() for n in args.only.split(",") if n.strip()]
+        if args.only
+        else list(CONFIGS)
+    )
+    results = load()
+    results["batch"] = args.batch
+
+    for name in names:
+        if name not in CONFIGS:
+            print(f"unknown config {name!r}; have {sorted(CONFIGS)}")
+            continue
+        if not args.rerun and name in results["configs"] and \
+                results["configs"][name].get("caps_per_s") is not None:
+            print(f"[{name}] cached: {results['configs'][name]}")
+            continue
+        env = dict(os.environ)
+        env["PYTHONPATH"] = "/root/.axon_site:" + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "axon"
+        env["CONZIC_BENCH_SKIP_TORCH"] = "1"
+        env["CONZIC_BENCH_BATCH"] = str(args.batch)
+        env["CONZIC_BENCH_XLA_OPTIONS"] = CONFIGS[name]
+        t0 = time.time()
+        print(f"[{name}] options={CONFIGS[name]!r} ...", flush=True)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True,
+                timeout=args.timeout, cwd=REPO,
+            )
+            line = [
+                ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{")
+            ]
+            if p.returncode == 0 and line:
+                val = json.loads(line[-1])["value"]
+                results["configs"][name] = {
+                    "options": CONFIGS[name],
+                    "caps_per_s": val,
+                    "wall_s": round(time.time() - t0, 1),
+                }
+                print(f"[{name}] {val} caps/s "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+            else:
+                tail = (p.stderr or p.stdout or "")[-400:]
+                results["configs"][name] = {
+                    "options": CONFIGS[name],
+                    "caps_per_s": None,
+                    "error": tail,
+                }
+                print(f"[{name}] FAILED rc={p.returncode}: {tail[-200:]}",
+                      flush=True)
+        except subprocess.TimeoutExpired:
+            results["configs"][name] = {
+                "options": CONFIGS[name],
+                "caps_per_s": None,
+                "error": f"timeout {args.timeout}s",
+            }
+            print(f"[{name}] TIMEOUT", flush=True)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+
+    best = max(
+        (c for c in results["configs"].values() if c.get("caps_per_s")),
+        key=lambda c: c["caps_per_s"],
+        default=None,
+    )
+    print("best:", best)
+
+
+if __name__ == "__main__":
+    main()

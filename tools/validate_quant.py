@@ -59,6 +59,14 @@ def main():
         cfg.clip_len = args.clip_len
         cfg.verbose = False
         cfg.quant = quant
+        if not args.random_models and not os.path.isdir(args.lm_model):
+            p.error(
+                f"--lm_model {args.lm_model!r} is not a local checkpoint "
+                "directory and this environment has no egress to download "
+                "one — pass --random_models (full-architecture random "
+                "weights) or --random_models tiny, or point "
+                "--lm_model/--match_model at local checkpoint dirs."
+            )
         cap = build_captioner(cfg, random_models=args.random_models)
         cap.cfg.verbose = False
         if embeds is None:
