@@ -35,6 +35,8 @@ ITERS = int(os.environ.get("CONZIC_BENCH_ITERS", "15"))
 K = int(os.environ.get("CONZIC_BENCH_K", "200"))
 BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "32"))
 PRUNE = int(os.environ.get("CONZIC_BENCH_PRUNE", "0")) or None
+# with CONZIC_BENCH_PRUNE: full-scoring final sweep (quality-bounded tier)
+PRUNE_FINAL_EXACT = os.environ.get("CONZIC_BENCH_PRUNE_FINAL_EXACT") == "1"
 CLIP_LEN = int(os.environ.get("CONZIC_BENCH_CLIP_LEN", "24"))
 ATTN = os.environ.get("CONZIC_BENCH_ATTN", "xla")
 PARAM_DTYPE = os.environ.get("CONZIC_BENCH_PARAM_DTYPE", "bfloat16")
@@ -107,6 +109,7 @@ def bench_ours() -> float:
             order="sequential",
             rng=np.random.RandomState(42),
             prune_k=PRUNE,
+            prune_final_exact=PRUNE_FINAL_EXACT,
         )
 
     run()  # warmup + compile
@@ -239,6 +242,7 @@ def main():
     print(json.dumps({
         "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}"
                   + (f" prune_k={PRUNE}" if PRUNE else "")
+                  + (" final_exact" if PRUNE and PRUNE_FINAL_EXACT else "")
                   + (f" quant={QUANT}" if QUANT != "none" else ""),
         "value": round(ours, 4),
         "unit": "captions/sec",

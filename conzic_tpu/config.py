@@ -54,9 +54,24 @@ class ConzicConfig:
     # PARITY.md); "exact" = host callback reproducing the reference's
     # decode -> re-tokenize byte-exactly (gen_utils.py:75, clip/clip.py:71)
     bridge_mode: str = "table"
+    # control-energy mode (the control analog of bridge_mode): "table" =
+    # per-token device tables (fast, context-free); "exact" = the
+    # reference's sentence-level tagging per candidate on the host
+    # (real NLTK pipeline when its data packs exist, the repo's built-in
+    # evaluators otherwise; sentiments_classifer.py:14-32,
+    # POS_classifier.py:6-31)
+    ctl_mode: str = "table"
     # opt-in NON-parity speed tier: int8 MXU path for the CLIP text tower's
     # projections/MLPs (the hot candidate scoring) — v5e int8 runs ~2x bf16
     quant: str = "none"  # none | int8
+    # opt-in speed tier: pre-select prune_k of the k candidates by the
+    # bag-of-word-embeddings proxy before full CLIP scoring (0 = off,
+    # full parity). Quality cells: PRUNING_MATRIX.json.
+    prune_k: int = 0
+    # with prune_k: run the LAST iteration with full k-candidate scoring,
+    # so the committed caption is a full-parity polish sweep over the
+    # pruned state (the quality-bounded fast tier)
+    prune_final_exact: bool = False
     # exact prefix-KV reuse: candidate sentences share their CLIP prefix up
     # to the edited word; chunking the position scan gives each chunk a
     # static prefix length whose K/V are computed once at batch width
@@ -138,11 +153,23 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    choices=["none", "int8"],
                    help="int8: quantized candidate scoring (non-parity "
                         "speed tier, like prune_k)")
+    p.add_argument("--prune_k", type=int, default=d.prune_k,
+                   help="candidate pre-selection size (0 = full parity); "
+                        "speed tier, quality cells in PRUNING_MATRIX.json")
+    p.add_argument("--prune_final_exact", action="store_true",
+                   default=d.prune_final_exact,
+                   help="with --prune_k: full-scoring final sweep (the "
+                        "quality-bounded fast tier)")
     p.add_argument("--bridge_mode", type=str, default=d.bridge_mode,
                    choices=["table", "exact"],
                    help="candidate CLIP-id assembly: on-device table "
                         "(fast) or the reference's decode->re-tokenize "
                         "host callback (byte-exact, incl. '##' merging)")
+    p.add_argument("--ctl_mode", type=str, default=d.ctl_mode,
+                   choices=["table", "exact"],
+                   help="control energies: per-token device tables (fast) "
+                        "or the reference's per-candidate sentence-level "
+                        "tagging on the host (exact)")
     p.add_argument("--kv_chunk_size", type=int, default=d.kv_chunk_size)
     p.add_argument("--clip_row_chunk", type=int, default=d.clip_row_chunk)
     p.add_argument("--clip_token_budget", type=int,

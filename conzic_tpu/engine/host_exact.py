@@ -1,31 +1,39 @@
-"""Host-stepped exact-bridge generation.
+"""Host-stepped exact-mode generation.
 
-``bridge_mode="exact"`` normally runs the reference's decode->re-tokenize
-as a ``jax.pure_callback`` inside the one compiled program (engine/gibbs).
-Some TPU runtimes (the axon PJRT plugin here) do not support host
-callbacks; this module provides the same semantics as an explicit host
-loop around jitted model steps: fresh BERT forward per position
-(gen_utils.py:69), host ``batch_decode`` + CLIP re-tokenize per candidate
-(gen_utils.py:75 + clip/clip.py:71-73), fused scoring and argmax commit.
+``bridge_mode="exact"`` / ``ctl_mode="exact"`` normally run the
+reference's host-side steps (decode -> re-tokenize per candidate,
+sentence-level NLTK tagging per candidate) as ``jax.pure_callback``s inside
+the one compiled program (engine/gibbs). Some TPU runtimes (the axon PJRT
+plugin here) do not support host callbacks; this module provides the same
+semantics as an explicit host loop around jitted model steps:
+
+  - fresh BERT forward per position (gen_utils.py:69) for the single-kind
+    orders; the span order's ONE stale forward per span (gen_utils.py:165)
+    and the parallel order's unmasked iteration-start forward
+    (gen_utils.py:258) — the same quirks the compiled engine preserves;
+  - candidate CLIP rows from the host bridge (gen_utils.py:75 +
+    clip/clip.py:71-73) when ``exact_bridge``, else the on-device table
+    assembly (so a ctl-exact run keeps the default bridge semantics);
+  - control energies from the per-candidate sentence-level host pipeline
+    (sentiments_classifer.py:14-32 / POS_classifier.py:6-31) when
+    ``ctl_mode == "exact"``, else the device tables;
+  - fused scoring and argmax commit.
 
 Slower than the compiled engine (one device round-trip per position) but
 byte-exact to the reference path — this is the parity/validation mode.
-Supports the ``single``-kind orders (sequential/shuffle/random) and both
-control energies; span/parallel exact runs require a callback-capable
-backend.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from conzic_tpu import energies
+from conzic_tpu.engine.orders import SPAN_LEN
 from conzic_tpu.models.bert import BertForMaskedLM
 from conzic_tpu.models.clip import CLIPModel
+from conzic_tpu.text.bridge import assemble_clip_ids
 
 
 def supports_host_callbacks() -> bool:
@@ -40,87 +48,196 @@ def supports_host_callbacks() -> bool:
     return "axon" not in version.lower()
 
 
+class _HostEngine:
+    """Jitted device steps + host exact steps for one generation run."""
+
+    def __init__(self, cap, spec, hyper, tables, B):
+        if spec.prune_k is not None:
+            raise NotImplementedError(
+                "prune_k is not supported in the host-stepped exact mode "
+                "(use a host-callback-capable backend for pruned exact "
+                "runs, or drop one of the exact modes)"
+            )
+        self.cap = cap
+        self.spec = spec
+        self.hyper = hyper
+        self.tables = tables
+        self.B = B
+        bert, clip = cap.bert_model, cap.clip_model
+        params = cap.params
+        k = spec.candidate_k
+        zeros = jnp.zeros((), jnp.float32)
+        senti = tables.get("senti", zeros)
+        pos_tab = tables.get("pos", zeros)
+        template = tables.get("template", zeros)
+        bridge_lens = tables["bridge_lens"]
+        bridge_ids = tables["bridge_ids"]
+        self.host_bridge = (
+            cap._get_host_bridge(spec.clip_len) if spec.exact_bridge else None
+        )
+        self.host_ctl = (
+            cap._get_host_ctl(spec)
+            if spec.ctl is not None and spec.ctl_mode == "exact"
+            else None
+        )
+
+        @jax.jit
+        def propose(ids, col, token_mask):
+            """Fresh masked forward at per-row col -> (masked, probs, idxs)
+            (gen_utils.py:69-72)."""
+            rows = jnp.arange(B)
+            masked = ids.at[rows, col].set(spec.mask_token_id)
+            hidden = bert.apply(
+                {"params": params["bert"]}, masked,
+                pool_idx=col[:, None], method=BertForMaskedLM.hidden,
+            )
+            logits = bert.apply(
+                {"params": params["bert"]}, hidden[:, 0],
+                method=BertForMaskedLM.lm_head,
+            )
+            top_probs, idxs = _topk(logits, token_mask)
+            return masked, top_probs, idxs
+
+        @jax.jit
+        def span_logits(ids, cols):
+            """ONE stale forward for a whole (masked) span
+            (gen_utils.py:165). cols: (n,) static-size span columns."""
+            hidden = bert.apply(
+                {"params": params["bert"]}, ids,
+                pool_idx=jnp.broadcast_to(cols[None, :], (B, cols.shape[0])),
+                method=BertForMaskedLM.hidden,
+            )
+            return bert.apply(
+                {"params": params["bert"]}, hidden,
+                method=BertForMaskedLM.lm_head,
+            )  # (B, n, V)
+
+        def _topk(logits, token_mask):
+            probs = energies.masked_lm_probs(
+                logits, token_mask, hyper["temperature"]
+            )
+            return energies.topk_candidates(probs, token_mask, k)
+
+        @jax.jit
+        def topk_from_logits(logits, token_mask):
+            return _topk(logits, token_mask)
+
+        @jax.jit
+        def score(clip_ids, clip_mask, top_probs, cand, idxs, image_embeds,
+                  host_ctl_scores):
+            text_embeds = clip.apply(
+                {"params": params["clip"]},
+                clip_ids.reshape(B * k, -1),
+                clip_mask.reshape(B * k, -1),
+                method=CLIPModel.encode_text,
+            )
+            clip_probs, cosine = clip.apply(
+                {"params": params["clip"]}, image_embeds, text_embeds,
+                method=CLIPModel.similarity,
+            )
+            ctl_probs = None
+            penalty = None
+            ctl_score = jnp.zeros((B, k), jnp.float32)
+            if spec.ctl is not None and spec.ctl_mode == "exact":
+                ctl_score = host_ctl_scores
+                if spec.ctl == "sentiment":
+                    ctl_probs = energies.sentiment_probs(ctl_score)
+                    penalty = energies.repeat_penalty(idxs, cand)
+                else:
+                    ctl_probs = energies.pos_probs(ctl_score)
+            elif spec.ctl == "sentiment":
+                ctl_score = energies.sentiment_scores(
+                    cand, senti, negative=spec.negative
+                )
+                ctl_probs = energies.sentiment_probs(ctl_score)
+                penalty = energies.repeat_penalty(idxs, cand)
+            elif spec.ctl == "pos":
+                inner = cand[:, :, 1 : spec.seq_len - 1]
+                word_valid = (bridge_lens[inner] > 0).astype(jnp.int32)
+                ctl_score = energies.pos_accuracy(
+                    inner, pos_tab, template, word_valid
+                )
+                ctl_probs = energies.pos_probs(ctl_score)
+            final = energies.combine_scores(
+                top_probs, clip_probs, hyper["alpha"], hyper["beta"],
+                ctl_probs=ctl_probs, gamma=hyper["gamma"], penalty=penalty,
+            )
+            sel = jnp.argmax(final, axis=1)
+            chosen = jnp.take_along_axis(idxs, sel[:, None], axis=1)[:, 0]
+            cos_sel = jnp.take_along_axis(cosine, sel[:, None], axis=1)[:, 0]
+            ctl_sel = jnp.take_along_axis(ctl_score, sel[:, None], axis=1)[:, 0]
+            return chosen, cos_sel, ctl_sel
+
+        @jax.jit
+        def table_bridge(inner):
+            """Default on-device bridge assembly for ctl-exact runs that
+            keep bridge_mode='table'."""
+            return assemble_clip_ids(
+                inner, bridge_ids, bridge_lens,
+                bos_id=spec.clip_bos_id, eos_id=spec.clip_eos_id,
+                pad_id=spec.clip_pad_id, clip_len=spec.clip_len,
+            )
+
+        self.propose = propose
+        self.span_logits = span_logits
+        self.topk_from_logits = topk_from_logits
+        self.score = score
+        self.table_bridge = table_bridge
+        self.k = k
+
+    def token_mask_np(self, pos):
+        """(B,) positions -> (B, V) numpy mask ('.' only at the last slot;
+        the parallel order never updates it — handled by the caller)."""
+        return np.where(
+            (pos == self.spec.sentence_len - 1)[:, None],
+            np.asarray(self.tables["mask_last"])[None, :],
+            np.asarray(self.tables["mask_mid"])[None, :],
+        )
+
+    def update(self, base_ids, commit_ids, pos, top_probs, idxs,
+               image_embeds):
+        """Score k candidates at per-row ``pos`` built from ``base_ids``
+        and commit the argmax into ``commit_ids`` (host copy of
+        gibbs._position_update)."""
+        spec, B, k = self.spec, self.B, self.k
+        col = spec.seed_len + pos
+        idxs_np = np.asarray(idxs)
+        cand = np.repeat(np.asarray(base_ids)[:, None, :], k, axis=1)
+        cand[
+            np.arange(B)[:, None], np.arange(k)[None, :], col[:, None]
+        ] = idxs_np
+        inner = cand[:, :, 1 : spec.seq_len - 1]
+        if self.host_bridge is not None:
+            clip_ids, clip_mask = self.host_bridge(inner)
+            clip_ids, clip_mask = jnp.asarray(clip_ids), jnp.asarray(clip_mask)
+        else:
+            clip_ids, clip_mask = self.table_bridge(jnp.asarray(inner))
+        ctl_scores = (
+            jnp.asarray(self.host_ctl(inner))
+            if self.host_ctl is not None
+            else jnp.zeros((B, k), jnp.float32)
+        )
+        chosen, cos_sel, ctl_sel = self.score(
+            clip_ids, clip_mask, jnp.asarray(top_probs),
+            jnp.asarray(cand), jnp.asarray(idxs_np), image_embeds,
+            ctl_scores,
+        )
+        out = np.asarray(commit_ids).copy()
+        out[np.arange(B), col] = np.asarray(chosen)
+        return out, np.asarray(cos_sel), np.asarray(ctl_sel)
+
+
 def run_generation_host(cap, spec, image_embeds, init_ids, positions,
-                        hyper, tables):
-    """Reference-semantics generation with host candidate assembly.
+                        hyper, tables, span_sizes=None):
+    """Reference-semantics generation with host exact steps.
 
     Args mirror the compiled engine's inputs; ``positions`` is the
-    (iters, steps, B) single-kind schedule. Returns the same tuple as
-    ``gibbs.run_generation``.
+    (iters, steps, B) single-kind schedule, the (iters, n_spans) span-start
+    schedule (with ``span_sizes``), or the (iters, 1) parallel dummy.
+    Returns the same tuple as ``gibbs.run_generation``.
     """
-    if spec.order_kind != "single":
-        raise NotImplementedError(
-            "exact bridge mode on a backend without host callbacks "
-            "supports sequential/shuffle/random orders only"
-        )
-    bert, clip = cap.bert_model, cap.clip_model
-    params = cap.params
     B = init_ids.shape[0]
-    k = spec.candidate_k
-
-    @functools.partial(jax.jit, static_argnames=())
-    def propose(ids, col, token_mask):
-        rows = jnp.arange(B)
-        masked = ids.at[rows, col].set(spec.mask_token_id)
-        hidden = bert.apply(
-            {"params": params["bert"]}, masked,
-            pool_idx=col[:, None], method=BertForMaskedLM.hidden,
-        )
-        logits = bert.apply(
-            {"params": params["bert"]}, hidden[:, 0],
-            method=BertForMaskedLM.lm_head,
-        )
-        probs = energies.masked_lm_probs(logits, token_mask,
-                                         hyper["temperature"])
-        top_probs, idxs = energies.topk_candidates(probs, token_mask, k)
-        return masked, top_probs, idxs
-
-    @jax.jit
-    def score(clip_ids, clip_mask, top_probs, cand, idxs, image_embeds,
-              senti, pos_tab, template, bridge_lens):
-        text_embeds = clip.apply(
-            {"params": params["clip"]},
-            clip_ids.reshape(B * k, -1),
-            clip_mask.reshape(B * k, -1),
-            method=CLIPModel.encode_text,
-        )
-        clip_probs, cosine = clip.apply(
-            {"params": params["clip"]}, image_embeds, text_embeds,
-            method=CLIPModel.similarity,
-        )
-        ctl_probs = None
-        penalty = None
-        ctl_score = jnp.zeros((B, k), jnp.float32)
-        if spec.ctl == "sentiment":
-            ctl_score = energies.sentiment_scores(
-                cand, senti, negative=spec.negative
-            )
-            ctl_probs = energies.sentiment_probs(ctl_score)
-            penalty = energies.repeat_penalty(idxs, cand)
-        elif spec.ctl == "pos":
-            inner = cand[:, :, 1 : spec.seq_len - 1]
-            word_valid = (bridge_lens[inner] > 0).astype(jnp.int32)
-            ctl_score = energies.pos_accuracy(
-                inner, pos_tab, template, word_valid
-            )
-            ctl_probs = energies.pos_probs(ctl_score)
-        final = energies.combine_scores(
-            top_probs, clip_probs, hyper["alpha"], hyper["beta"],
-            ctl_probs=ctl_probs, gamma=hyper["gamma"], penalty=penalty,
-        )
-        sel = jnp.argmax(final, axis=1)
-        chosen = jnp.take_along_axis(idxs, sel[:, None], axis=1)[:, 0]
-        cos_sel = jnp.take_along_axis(cosine, sel[:, None], axis=1)[:, 0]
-        ctl_sel = jnp.take_along_axis(ctl_score, sel[:, None], axis=1)[:, 0]
-        return chosen, cos_sel, ctl_sel
-
-    host_bridge = cap._get_host_bridge(spec.clip_len)
-    zeros = jnp.zeros((), jnp.float32)
-    senti = tables.get("senti", zeros)
-    pos_tab = tables.get("pos", zeros)
-    template = tables.get("template", zeros)
-    bridge_lens = tables["bridge_lens"]
-
+    eng = _HostEngine(cap, spec, hyper, tables, B)
     ids = np.asarray(init_ids).copy()
     iters = positions.shape[0]
     iter_ids = np.zeros((iters, B, ids.shape[1]), np.int32)
@@ -128,36 +245,69 @@ def run_generation_host(cap, spec, image_embeds, init_ids, positions,
     iter_ctl = np.zeros((iters, B), np.float32)
     best_cos = np.zeros((B,), np.float32)
     best_ids = ids.copy()
+
     for it in range(iters):
         cos = np.zeros((B,), np.float32)
         ctl = np.zeros((B,), np.float32)
-        for s in range(positions.shape[1]):
-            pos = np.asarray(positions[it, s])
-            col = spec.seed_len + pos
-            token_mask = np.where(
-                (pos == spec.sentence_len - 1)[:, None],
+        if spec.order_kind == "single":
+            for s in range(positions.shape[1]):
+                pos = np.asarray(positions[it, s])
+                token_mask = eng.token_mask_np(pos)
+                masked, top_probs, idxs = eng.propose(
+                    jnp.asarray(ids), jnp.asarray(spec.seed_len + pos),
+                    jnp.asarray(token_mask),
+                )
+                ids, cos, ctl = eng.update(
+                    np.asarray(masked), np.asarray(masked), pos,
+                    top_probs, idxs, image_embeds,
+                )
+        elif spec.order_kind == "span":
+            for s in range(positions.shape[1]):
+                start = int(positions[it, s])
+                size = int(span_sizes[it, s])
+                offs = np.arange(SPAN_LEN, dtype=np.int32)
+                cols = spec.seed_len + start + offs
+                # mask the whole (valid part of the) span, then ONE stale
+                # forward reused for every in-span position
+                # (gen_utils.py:164-169)
+                ids[:, cols[:size]] = spec.mask_token_id
+                logits_span = eng.span_logits(
+                    jnp.asarray(ids), jnp.asarray(cols)
+                )
+                for j in range(size):
+                    pos = np.full((B,), start + j, np.int32)
+                    token_mask = eng.token_mask_np(pos)
+                    top_probs, idxs = eng.topk_from_logits(
+                        logits_span[:, j], jnp.asarray(token_mask)
+                    )
+                    ids, cos, ctl = eng.update(
+                        ids, ids, pos, top_probs, idxs, image_embeds
+                    )
+        elif spec.order_kind == "parallel":
+            base = ids.copy()  # candidates built from iteration-start rows
+            sent_cols = spec.seed_len + np.arange(
+                spec.sentence_len, dtype=np.int32
+            )
+            # one UNMASKED forward (gen_utils.py:258 — quirk preserved);
+            # the token mask is never position-updated ('.' allowed
+            # everywhere, PARITY.md)
+            logits_all = eng.span_logits(
+                jnp.asarray(ids), jnp.asarray(sent_cols)
+            )
+            mask_last = np.broadcast_to(
                 np.asarray(tables["mask_last"])[None, :],
-                np.asarray(tables["mask_mid"])[None, :],
+                (B, np.asarray(tables["mask_last"]).shape[0]),
             )
-            masked, top_probs, idxs = propose(
-                jnp.asarray(ids), jnp.asarray(col), jnp.asarray(token_mask)
-            )
-            masked = np.array(masked)  # writable host copy
-            idxs_np = np.asarray(idxs)
-            cand = np.repeat(masked[:, None, :], k, axis=1)
-            cand[
-                np.arange(B)[:, None], np.arange(k)[None, :], col[:, None]
-            ] = idxs_np
-            inner = cand[:, :, 1 : spec.seq_len - 1]
-            clip_ids, clip_mask = host_bridge(inner)
-            chosen, cos_sel, ctl_sel = score(
-                jnp.asarray(clip_ids), jnp.asarray(clip_mask), top_probs,
-                jnp.asarray(cand), idxs, image_embeds,
-                senti, pos_tab, template, bridge_lens,
-            )
-            ids = masked
-            ids[np.arange(B), col] = np.asarray(chosen)
-            cos, ctl = np.asarray(cos_sel), np.asarray(ctl_sel)
+            for kk in range(spec.sentence_len):
+                pos = np.full((B,), kk, np.int32)
+                top_probs, idxs = eng.topk_from_logits(
+                    logits_all[:, kk], jnp.asarray(mask_last)
+                )
+                ids, cos, ctl = eng.update(
+                    base, ids, pos, top_probs, idxs, image_embeds
+                )
+        else:
+            raise ValueError(spec.order_kind)
         iter_ids[it] = ids
         iter_cos[it] = cos
         iter_ctl[it] = ctl

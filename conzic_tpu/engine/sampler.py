@@ -440,8 +440,10 @@ class Captioner:
         return fn
 
     def _spec(self, seed_len, max_len, top_k, order_kind, ctl, negative,
-              prune_k=None, prefix_chunks=None) -> EngineSpec:
+              prune_k=None, prefix_chunks=None,
+              final_exact=False, ctl_key="") -> EngineSpec:
         exact = self.cfg.bridge_mode == "exact"
+        ctl_mode = self.cfg.ctl_mode if ctl is not None else "table"
         row_chunk = self.cfg.clip_row_chunk
         budget = self.cfg.clip_token_budget
         if row_chunk and budget and self.cfg.clip_len > 48:
@@ -460,12 +462,55 @@ class Captioner:
             clip_pad_id=self.bridge.pad_id,
             ctl=ctl,
             negative=negative,
+            ctl_mode=ctl_mode,
+            ctl_key=ctl_key if ctl_mode == "exact" and ctl == "pos" else "",
             order_kind=order_kind,
             prune_k=prune_k,
+            final_exact=bool(final_exact and prune_k is not None),
             prefix_chunks=None if exact else prefix_chunks,
             clip_row_chunk=row_chunk,
             exact_bridge=exact,
         )
+
+    def _get_host_ctl(self, spec: EngineSpec):
+        """Memoized host callback for ``ctl_mode="exact"``: decode each
+        candidate row and score it with the reference's sentence-level
+        pipeline (sentiments_classifer.py:14-32 / POS_classifier.py:6-31;
+        real NLTK when its data packs exist, the repo's built-in
+        evaluators otherwise)."""
+        import json
+
+        cache = getattr(self, "_host_ctl_cache", None)
+        if cache is None:
+            cache = self._host_ctl_cache = {}
+        key = (spec.ctl, spec.negative, spec.ctl_key)
+        fn = cache.get(key)
+        if fn is None:
+            decoder = self._decoder
+            ctl, negative = spec.ctl, spec.negative
+            template = json.loads(spec.ctl_key) if spec.ctl_key else None
+
+            def host_ctl(inner):
+                from conzic_tpu.eval.pos_eval import batch_texts_pos_analysis
+                from conzic_tpu.eval.sentiment_eval import (
+                    batch_texts_sentiment_scores,
+                )
+
+                inner = np.asarray(inner)
+                B, k, P = inner.shape
+                texts = decoder.batch_decode(
+                    inner.reshape(B * k, P), skip_special_tokens=True
+                )
+                if ctl == "sentiment":
+                    scores = batch_texts_sentiment_scores(
+                        texts, negative=negative
+                    )
+                else:
+                    _, scores = batch_texts_pos_analysis(texts, template)
+                return np.asarray(scores, np.float32).reshape(B, k)
+
+            fn = cache[key] = host_ctl
+        return fn
 
     def _compiler_options(self) -> Optional[Dict[str, str]]:
         """Parse ``cfg.compiler_options`` ("k=v,k=v") for the engine jit."""
@@ -487,10 +532,15 @@ class Captioner:
                 if spec.exact_bridge
                 else None
             )
+            host_ctl = (
+                self._get_host_ctl(spec)
+                if spec.ctl is not None and spec.ctl_mode == "exact"
+                else None
+            )
             fn = jax.jit(
                 functools.partial(
                     run_generation, spec, self.bert_model, self.clip_model,
-                    host_bridge=host_bridge,
+                    host_bridge=host_bridge, host_ctl=host_ctl,
                 ),
                 compiler_options=self._compiler_options(),
             )
@@ -515,9 +565,15 @@ class Captioner:
         rng: Optional[np.random.RandomState] = None,
         n_samples: int = 1,
         prune_k: Optional[int] = None,
+        prune_final_exact: bool = False,
         pos_template=None,
     ) -> GenerationResult:
         """Run one full generation; decode snapshots on host afterwards.
+
+        ``prune_final_exact`` (with ``prune_k``) runs iterations
+        ``1..I-1`` pruned and the LAST iteration with full k-candidate
+        scoring — the committed caption is a full-parity polish sweep
+        over the pruned state (the quality-bounded speed tier).
 
         ``n_samples > 1`` fuses independent samples as extra batch lanes in
         the SAME compiled program (rows ordered sample-major). Each sample
@@ -532,12 +588,27 @@ class Captioner:
             for _ in range(n_samples)
         ]
         sched = scheds[0]
+        if prune_k is None:  # config-level tier (CLI --prune_k); an
+            prune_k = self.cfg.prune_k or None  # explicit arg overrides
+        prune_final_exact = prune_final_exact or self.cfg.prune_final_exact
         if prune_k is not None and prune_k >= top_k:
             prune_k = None
         if prune_k is not None:
             self._ensure_word_embeds()
         tables = self.tables
-        if ctl is not None:
+        ctl_key = ""
+        if ctl is not None and self.cfg.ctl_mode == "exact":
+            # exact mode scores candidates host-side: no device tables
+            # needed; the POS template is baked into the host callback
+            # (and into the jit-cache key via ctl_key)
+            import json
+
+            template = (
+                pos_template if pos_template is not None
+                else self.cfg.pos_type
+            )
+            ctl_key = json.dumps(template) if ctl == "pos" else ""
+        elif ctl is not None:
             self._ensure_ctl_tables()
             if pos_template is not None:
                 # per-call template override; never mutates shared state
@@ -555,6 +626,8 @@ class Captioner:
             prefix_chunks=self._prefix_chunks(
                 order, sched.kind, init_row, seed_len, max_len
             ),
+            final_exact=prune_final_exact,
+            ctl_key=ctl_key,
         )
         B0 = int(image_embeds.shape[0])
         B = B0 * n_samples
@@ -602,19 +675,27 @@ class Captioner:
                 )
         from conzic_tpu.engine import host_exact
 
-        if spec.exact_bridge and not host_exact.supports_host_callbacks():
+        needs_host_cb = spec.exact_bridge or (
+            spec.ctl is not None and spec.ctl_mode == "exact"
+        )
+        if needs_host_cb and not host_exact.supports_host_callbacks():
             # this TPU runtime rejects jax host callbacks: run the exact
-            # (reference decode->re-tokenize) mode as a host-stepped loop
+            # (reference decode->re-tokenize / sentence-tagging) modes as
+            # a host-stepped loop
             if self.mesh is not None:
                 raise NotImplementedError(
-                    "bridge_mode='exact' on a mesh requires a backend with "
-                    "host-callback support"
+                    "bridge_mode='exact' / ctl_mode='exact' on a mesh "
+                    "requires a backend with host-callback support"
                 )
             t0 = time.time()
             iter_ids, iter_cos, iter_ctl, best_ids, best_cos = (
                 host_exact.run_generation_host(
                     self, spec, image_embeds, init, np.asarray(positions),
                     hyper, tables,
+                    span_sizes=(
+                        np.asarray(sched.span_sizes)
+                        if sched.span_sizes is not None else None
+                    ),
                 )
             )
             elapsed = time.time() - t0

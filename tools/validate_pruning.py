@@ -34,7 +34,8 @@ MATRIX_PATH = os.path.join(
 )
 
 
-def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k):
+def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
+             final_exact=False):
     runs = {}
     for name, pk in (("full", None), ("pruned", prune_k)):
         runs[name] = cap.run(
@@ -43,6 +44,7 @@ def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k):
             alpha=0.02, beta=2.0, gamma=5.0 if ctl else 0.0,
             order=order, ctl=ctl, negative=False,
             rng=np.random.RandomState(42), prune_k=pk,
+            prune_final_exact=final_exact and pk is not None,
         )
     full, pruned = runs["full"], runs["pruned"]
     finals_f = full.gen_texts_list[-2]
@@ -123,19 +125,26 @@ def main():
             cells = json.load(f).get("cells", {})
     # prune_k sweep on the headline order, plus every order and both
     # control modes at the default prune_k (VERDICT r1 item 8)
-    jobs = [("sequential", None, pk) for pk in (5, 10, 20, 40, 80)]
-    jobs += [(o, None, args.prune_k) for o in ("shuffle", "span", "random")]
-    jobs += [("sequential", c, args.prune_k) for c in ("sentiment", "pos")]
+    jobs = [("sequential", None, pk, False) for pk in (5, 10, 20, 40, 80)]
+    jobs += [(o, None, args.prune_k, False)
+             for o in ("shuffle", "span", "random")]
+    jobs += [("sequential", c, args.prune_k, False)
+             for c in ("sentiment", "pos")]
+    # hybrid pruned+exact final-sweep cells (the quality-bounded tier)
+    jobs += [("sequential", None, pk, True) for pk in (5, 10, 20)]
     if args.merge:
         jobs = [
-            (o, c, pk) for o, c, pk in jobs
-            if f"{o}/{c or 'free'}/prune{pk}" not in cells
+            (o, c, pk, fe) for o, c, pk, fe in jobs
+            if f"{o}/{c or 'free'}/prune{pk}{'+final_exact' if fe else ''}"
+            not in cells
         ]
-    for order, ctl, pk in jobs:
-        key = f"{order}/{ctl or 'free'}/prune{pk}"
+    for order, ctl, pk, fe in jobs:
+        key = f"{order}/{ctl or 'free'}/prune{pk}" + (
+            "+final_exact" if fe else ""
+        )
         print(f"--- {key}", flush=True)
         cell = run_cell(cap, embeds, order=order, ctl=ctl, prune_k=pk,
-                        **common)
+                        final_exact=fe, **common)
         for m, v in cell.items():
             print(f"  {m}: {v:.4f}")
         cells[key] = cell
