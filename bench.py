@@ -43,8 +43,13 @@ PARAM_DTYPE = os.environ.get("CONZIC_BENCH_PARAM_DTYPE", "bfloat16")
 KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
 ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
 TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "16000"))
+PAD_TO = int(os.environ.get("CONZIC_BENCH_PAD_TO", "0"))
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 XLA_OPTIONS = os.environ.get("CONZIC_BENCH_XLA_OPTIONS", "")
+# tiny test towers instead of the full architecture — for smoke-driving the
+# bench harness itself on CPU (tools/checkpoint_runbook.py); NOT a valid
+# headline configuration
+SMALL_MODELS = os.environ.get("CONZIC_BENCH_SMALL_MODELS") == "1"
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 PROMPT = "Image of a"
 
@@ -74,6 +79,11 @@ def build_captioner():
     cfg.clip_token_budget = TOKEN_BUDGET
     cfg.quant = QUANT if on_tpu else "none"
     cfg.compiler_options = XLA_OPTIONS
+    cfg.clip_pad_to = PAD_TO
+    if SMALL_MODELS:
+        return Captioner.from_random(
+            config=cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32
+        )
     return Captioner.from_random(
         config=cfg,
         bert_config=BertConfig(),

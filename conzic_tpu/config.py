@@ -94,6 +94,10 @@ class ConzicConfig:
     # 16000 -> 0.469, 32000 -> 0.364, uncapped -> 0.311 caps/s.
     clip_token_budget: int = 16000
     clip_len: int = 32  # static CLIP context (<=77); 77 = reference max
+    # pad candidate rows to this static length (masked PAD columns; exact)
+    # before the text tower — probes whether an aligned S escapes the
+    # S>64 XLA copy regime at clip_len=77. 0 disables.
+    clip_pad_to: int = 0
     attn_impl: str = "xla"  # xla | twoblock | pallas | pallas_out | xla_bhsd
     # extra XLA compiler options for the engine program, "k=v,k=v" (e.g.
     # "xla_tpu_scoped_vmem_limit_kib=65536"). Empty = toolchain defaults.
@@ -175,6 +179,7 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--clip_token_budget", type=int,
                    default=d.clip_token_budget)
     p.add_argument("--clip_len", type=int, default=d.clip_len)
+    p.add_argument("--clip_pad_to", type=int, default=d.clip_pad_to)
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
                    choices=["xla", "twoblock", "xla_bhsd", "pallas",
                             "pallas_out"])

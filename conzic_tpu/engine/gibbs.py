@@ -88,6 +88,11 @@ class EngineSpec:
     # an XLA layout-copy regime (ROADMAP #1); larger batches are scanned in
     # chunks of <= this many rows. 0 disables.
     clip_row_chunk: int = 0
+    # pad candidate rows from clip_len to this static length (extra PAD
+    # columns, masked off — exact) before the text tower: probes whether a
+    # lane/sublane-aligned S escapes the S>64 XLA copy regime that makes
+    # clip_len=77 disproportionately slow (VERDICT r2 item 4). 0 disables.
+    clip_pad_to: int = 0
     # host-exact candidate assembly: CLIP ids come from a pure host
     # callback reproducing the reference's decode -> re-tokenize
     # (gen_utils.py:75 + clip/clip.py:71-73) byte-exactly, including
@@ -119,6 +124,13 @@ def _encode_candidates(
         B*k batches are scanned in fixed-size chunks to stay out of the
         XLA large-batch layout-copy regime.
     """
+    if spec.clip_pad_to > clip_ids.shape[-1]:
+        extra = spec.clip_pad_to - clip_ids.shape[-1]
+        clip_ids = jnp.pad(
+            clip_ids, ((0, 0), (0, 0), (0, extra)),
+            constant_values=spec.clip_pad_id,
+        )
+        clip_mask = jnp.pad(clip_mask, ((0, 0), (0, 0), (0, extra)))
     B, k, L = clip_ids.shape
     P = prefix_len if 2 <= prefix_len < spec.clip_len - 1 else 0
 

@@ -469,6 +469,10 @@ class Captioner:
             final_exact=bool(final_exact and prune_k is not None),
             prefix_chunks=None if exact else prefix_chunks,
             clip_row_chunk=row_chunk,
+            clip_pad_to=(
+                self.cfg.clip_pad_to
+                if self.cfg.clip_pad_to > self.cfg.clip_len else 0
+            ),
             exact_bridge=exact,
         )
 

@@ -64,6 +64,14 @@ class CLIPTextTower(nn.Module):
             (cfg.max_position_embeddings, cfg.hidden_size),
             jnp.float32,
         )
+        if pos_offset + S > cfg.max_position_embeddings:
+            # lane-padding experiment (config.clip_pad_to): rows beyond the
+            # table are zeros and belong to masked-off PAD columns only —
+            # they never reach the pooled output (first-EOS row)
+            pos_table = jnp.pad(
+                pos_table,
+                ((0, pos_offset + S - cfg.max_position_embeddings), (0, 0)),
+            )
         x = x + pos_table[pos_offset : pos_offset + S].astype(self.dtype)[None, :, :]
         if prefix_kvs is not None:
             # full-key-width additive bias: prefix keys unmasked (all real

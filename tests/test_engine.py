@@ -730,3 +730,38 @@ def test_prune_final_exact_is_full_sweep_over_pruned_state(captioner):
         ),
         rtol=1e-6,
     )
+
+
+def test_clip_pad_to_is_exact(captioner, tmp_path):
+    """clip_pad_to pads candidate rows with masked PAD columns (and the
+    position table with zero rows past 77) — the S>64 alignment probe must
+    be EXACT: byte-identical generations to the unpadded engine."""
+    from conzic_tpu.config import ConzicConfig
+
+    results = {}
+    for pad_to in (0, 40, 80):
+        cfg = ConzicConfig(dtype="float32", clip_pad_to=pad_to)
+        cap = Captioner.from_random(
+            config=cfg, tmpdir=str(tmp_path / f"p{pad_to}"),
+            init_mode="proper",
+        )
+        cap.cfg.verbose = False
+        rng = np.random.RandomState(4)
+        embeds = jnp.asarray(
+            rng.randn(2, cap.clip_model.config.projection_dim).astype(
+                np.float32
+            )
+        )
+        results[pad_to] = cap.run(
+            embeds, prompt="Image of a", max_len=4, top_k=8,
+            temperature=0.1, max_iter=2, alpha=0.02, beta=2.0,
+            order="sequential",
+        )
+    for pad_to in (40, 80):  # 80 > max_position: zero-padded pos rows
+        assert results[0].gen_texts_list == results[pad_to].gen_texts_list
+        np.testing.assert_array_equal(
+            results[0].iter_ids, results[pad_to].iter_ids
+        )
+        np.testing.assert_allclose(
+            results[0].best_cos, results[pad_to].best_cos, rtol=0, atol=1e-5
+        )
