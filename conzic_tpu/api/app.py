@@ -154,20 +154,29 @@ def build_ui(captioner, cfg: ConzicConfig):
 
 
 def main(argv=None):
-    try:
-        import gradio  # noqa: F401
-    except ImportError:
-        raise SystemExit(
-            "gradio is not installed in this environment; the web UI is "
-            "available wherever `pip install gradio` is possible. All "
-            "functionality is also exposed via conzic-demo / conzic-run."
-        )
     p = argparse.ArgumentParser()
     p.add_argument("--lm_model", default="bert-base-uncased")
     p.add_argument("--match_model", default="openai/clip-vit-base-patch32")
-    p.add_argument("--random_models", action="store_true")
+    p.add_argument("--random_models", nargs="?", const="full",
+                   choices=["full", "tiny"], default=False)
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--ui", choices=["auto", "gradio", "fallback"],
+                   default="auto",
+                   help="auto: gradio when installed, else the stdlib "
+                        "fallback server with the same widgets")
     args = p.parse_args(argv)
+
+    use_gradio = args.ui in ("auto", "gradio")
+    if use_gradio:
+        try:
+            import gradio  # noqa: F401
+        except ImportError:
+            if args.ui == "gradio":
+                raise SystemExit(
+                    "gradio is not installed; re-run with --ui fallback "
+                    "(same widgets, stdlib server) or pip install gradio."
+                )
+            use_gradio = False
 
     from conzic_tpu.api.demo import build_captioner
 
@@ -175,8 +184,13 @@ def main(argv=None):
     cfg.lm_model = args.lm_model
     cfg.match_model = args.match_model
     captioner = build_captioner(cfg, random_models=args.random_models)
-    ui = build_ui(captioner, cfg)
-    ui.launch(server_port=args.port)
+    if use_gradio:
+        ui = build_ui(captioner, cfg)
+        ui.launch(server_port=args.port)
+    else:
+        from conzic_tpu.api.fallback_ui import serve
+
+        serve(captioner, cfg, port=args.port)
 
 
 if __name__ == "__main__":

@@ -587,6 +587,11 @@ class Captioner:
         fused batch keeps the MXU fed. Use :meth:`split_samples` to unpack.
         """
         rng = rng or np.random.RandomState(self.cfg.seed)
+        # k cannot exceed the vocabulary (lax.top_k hard-errors); clamping
+        # keeps small test vocabularies usable with the reference default
+        # k=200 — beyond V the extra candidates would all be mask-banned
+        # [PAD] duplicates anyway
+        top_k = min(top_k, self.wp.vocab_size)
         scheds = [
             build_schedule(order, max_len, max_iter, rng)
             for _ in range(n_samples)

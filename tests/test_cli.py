@@ -282,3 +282,67 @@ def test_run_cli_skips_unreadable_images(tmp_path, monkeypatch, tiny_captioner):
     with open(sample_dir / "iter_0.json") as f:
         res = json.load(f)
     assert len(res) == 2  # both valid images captioned
+
+
+def test_fallback_ui_server_serves_and_submits(tiny_captioner):
+    """The stdlib fallback web UI (api/fallback_ui.py) actually SERVES: GET
+    / returns the widget page; POST /submit runs the shared Submit callback
+    and returns captions — the live-UI analog of the gradio path, runnable
+    in environments where gradio cannot be installed."""
+    import base64
+    import http.client
+    import io
+    import json as json_mod
+    import threading
+
+    from PIL import Image
+
+    from conzic_tpu.api.fallback_ui import make_server
+    from conzic_tpu.config import ConzicConfig
+
+    cfg = ConzicConfig()
+    cfg.candidate_k = 6
+    cfg.verbose = False
+    tiny_captioner.cfg.verbose = False
+    server = make_server(tiny_captioner, cfg, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("GET", "/")
+        page = conn.getresponse().read().decode("utf-8")
+        for widget in ("Run Type", "Control Type", "Sentiment",
+                       "Generation Order", "Prompt", "Sentence Length",
+                       "Num Iterations", "Samples", "Alpha", "Beta",
+                       "Gamma", "Upload Picture", "Final Caption",
+                       "Best Caption", "Submit", "Reset"):
+            assert widget in page, widget
+
+        buf = io.BytesIO()
+        Image.fromarray(
+            np.random.RandomState(0).randint(0, 255, (64, 48, 3),
+                                             dtype=np.uint8)
+        ).save(buf, format="PNG")
+        payload = {
+            "run_type": "caption", "control_type": "sentiment",
+            "sentiment_type": "positive", "order": "sequential",
+            "prompt": "Image of a", "sentence_len": 4,
+            "num_iterations": 1, "samples_num": 2,
+            "alpha": 0.02, "beta": 2.0, "gamma": 5.0,
+            "image": "data:image/png;base64,"
+                     + base64.b64encode(buf.getvalue()).decode(),
+        }
+        conn.request("POST", "/submit", body=json_mod.dumps(payload),
+                     headers={"Content-Type": "application/json"})
+        out = json_mod.loads(conn.getresponse().read())
+        assert len(out["final"].splitlines()) == 2  # samples joined
+        assert out["best"]
+        # bad request surfaces as a 500 with an error field, not a crash
+        conn.request("POST", "/submit", body=json_mod.dumps({"image": "x"}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 500
+        assert "error" in json_mod.loads(resp.read())
+    finally:
+        server.shutdown()
