@@ -62,6 +62,10 @@ def build_captioner():
     from conzic_tpu.models.configs import BertConfig, CLIPConfig
     from conzic_tpu.text.vocab import make_fullsize_wordpiece_vocab
 
+    if os.environ.get("CONZIC_BENCH_CPU") == "1":
+        # the TPU platform plugin overrides JAX_PLATFORMS: forcing CPU
+        # requires jax.config before backend init (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     # persistent XLA compilation cache: first round pays the ~4 min compile,
     # later bench runs start in seconds
     cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")

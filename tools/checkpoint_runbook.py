@@ -122,6 +122,8 @@ def main():
     demo_cmd = [py, "-m", "conzic_tpu.api.demo", "--run_type", "caption",
                 "--caption_img_path", "examples/girl.jpg",
                 "--samples_num", "1"]
+    if args.cpu:
+        demo_cmd += ["--device", "cpu"]
     demo_cmd += (["--random_models", "tiny", "--sentence_len", "5",
                   "--candidate_k", "16", "--num_iterations", "2"]
                  if smoke else [*models])
@@ -133,7 +135,8 @@ def main():
 
     # 5. SketchyCOCOcaption pipeline (needs the dataset)
     if args.images:
-        cmd = [py, "tools/sketchycoco_bench.py", "--images", args.images]
+        cmd = [py, "tools/sketchycoco_bench.py", "--images", args.images,
+               *cpu]
         cmd += (["--random_models", "--iters", "2", "--k", "16",
                  "--sentence_len", "5", "--samples", "1"]
                 if smoke else [*models])
@@ -145,7 +148,7 @@ def main():
     env = dict(os.environ)
     env["CONZIC_BENCH_SKIP_TORCH"] = "1"
     if args.cpu:
-        env["JAX_PLATFORMS"] = "cpu"
+        env["CONZIC_BENCH_CPU"] = "1"  # env var alone is plugin-overridden
     if smoke:
         env["CONZIC_BENCH_BATCH"] = "2"
         env["CONZIC_BENCH_ITERS"] = "2"

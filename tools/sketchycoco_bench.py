@@ -46,7 +46,14 @@ def main():
     p.add_argument("--corpus", default=None,
                    help="caption corpus JSON for the retrieval baseline")
     p.add_argument("--out", default="sketchycoco_results")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the TPU plugin overrides "
+                        "JAX_PLATFORMS; see CLAUDE.md)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from conzic_tpu.api import run as run_cli
     from conzic_tpu.eval.ndiv import calc_diversity
