@@ -45,7 +45,16 @@ ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
 TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "16000"))
 PAD_TO = int(os.environ.get("CONZIC_BENCH_PAD_TO", "0"))
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
-XLA_OPTIONS = os.environ.get("CONZIC_BENCH_XLA_OPTIONS", "")
+# Default engine compiler options: the tools/flag_sweep.py winner on this
+# toolchain (XLA_FLAG_SWEEP.json, r3). Measured at B=32 over repeats:
+# combo 3.19-3.24 caps/s vs 3.085-3.092 base (~+3..5%); scoped-vmem 32768
+# alone +2.6%, dot-strength-reduction off alone +3.3%, and the two stack.
+# Override (or clear) with CONZIC_BENCH_XLA_OPTIONS.
+DEFAULT_XLA_OPTIONS = (
+    "xla_tpu_scoped_vmem_limit_kib=32768,"
+    "xla_tpu_enable_dot_strength_reduction=false"
+)
+XLA_OPTIONS = os.environ.get("CONZIC_BENCH_XLA_OPTIONS", DEFAULT_XLA_OPTIONS)
 # tiny test towers instead of the full architecture — for smoke-driving the
 # bench harness itself on CPU (tools/checkpoint_runbook.py); NOT a valid
 # headline configuration
@@ -82,7 +91,7 @@ def build_captioner():
     cfg.clip_row_chunk = ROW_CHUNK
     cfg.clip_token_budget = TOKEN_BUDGET
     cfg.quant = QUANT if on_tpu else "none"
-    cfg.compiler_options = XLA_OPTIONS
+    cfg.compiler_options = XLA_OPTIONS if on_tpu else ""
     cfg.clip_pad_to = PAD_TO
     if SMALL_MODELS:
         return Captioner.from_random(

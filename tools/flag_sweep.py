@@ -45,6 +45,22 @@ CONFIGS = {
         "xla_tpu_scoped_vmem_limit_kib=65536,"
         "xla_tpu_enable_latency_hiding_scheduler=true"
     ),
+    # phase 2: combos / neighborhoods of the phase-1 winners
+    # (vmem32 +2.6%, no_dsr +3.3%)
+    "vmem32_no_dsr": (
+        "xla_tpu_scoped_vmem_limit_kib=32768,"
+        "xla_tpu_enable_dot_strength_reduction=false"
+    ),
+    "vmem24": "xla_tpu_scoped_vmem_limit_kib=24576",
+    "vmem40": "xla_tpu_scoped_vmem_limit_kib=40960",
+    "vmem24_no_dsr": (
+        "xla_tpu_scoped_vmem_limit_kib=24576,"
+        "xla_tpu_enable_dot_strength_reduction=false"
+    ),
+    "vmem40_no_dsr": (
+        "xla_tpu_scoped_vmem_limit_kib=40960,"
+        "xla_tpu_enable_dot_strength_reduction=false"
+    ),
 }
 
 
