@@ -43,7 +43,7 @@ PARAM_DTYPE = os.environ.get("CONZIC_BENCH_PARAM_DTYPE", "bfloat16")
 KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
 ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
 TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "16000"))
-PAD_TO = int(os.environ.get("CONZIC_BENCH_PAD_TO", "0"))
+PAD_TO = int(os.environ.get("CONZIC_BENCH_PAD_TO", "-1"))  # -1 = auto
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 # Default engine compiler options: the tools/flag_sweep.py winner on this
 # toolchain (XLA_FLAG_SWEEP.json, r3). Measured at B=32 over repeats:

@@ -94,10 +94,14 @@ class ConzicConfig:
     # 16000 -> 0.469, 32000 -> 0.364, uncapped -> 0.311 caps/s.
     clip_token_budget: int = 16000
     clip_len: int = 32  # static CLIP context (<=77); 77 = reference max
-    # pad candidate rows to this static length (masked PAD columns; exact)
-    # before the text tower — probes whether an aligned S escapes the
-    # S>64 XLA copy regime at clip_len=77. 0 disables.
-    clip_pad_to: int = 0
+    # pad candidate rows to this static length (masked PAD columns; exact,
+    # test-pinned identical outputs) before the text tower. -1 = auto:
+    # round clip_len up to a sublane multiple (8) when clip_len > 64 —
+    # measured r3: 77 -> 80 runs +42% (0.450 -> 0.639 caps/s at B=8; the
+    # odd-S suffix was the S>64 XLA copy regime). 0 disables; N pads to N
+    # (128 measured WORSE than 80: the extra columns' FLOPs eat the
+    # alignment win).
+    clip_pad_to: int = -1
     attn_impl: str = "xla"  # xla | twoblock | pallas | pallas_out | xla_bhsd
     # extra XLA compiler options for the engine program, "k=v,k=v" (e.g.
     # "xla_tpu_scoped_vmem_limit_kib=65536"). Empty = toolchain defaults.

@@ -469,10 +469,7 @@ class Captioner:
             final_exact=bool(final_exact and prune_k is not None),
             prefix_chunks=None if exact else prefix_chunks,
             clip_row_chunk=row_chunk,
-            clip_pad_to=(
-                self.cfg.clip_pad_to
-                if self.cfg.clip_pad_to > self.cfg.clip_len else 0
-            ),
+            clip_pad_to=self._clip_pad_to(),
             exact_bridge=exact,
         )
 
@@ -515,6 +512,15 @@ class Captioner:
 
             fn = cache[key] = host_ctl
         return fn
+
+    def _clip_pad_to(self) -> int:
+        """Resolve cfg.clip_pad_to: -1 = auto-align long contexts to a
+        sublane multiple (77 -> 80 measured +42%, config.py note); 0 =
+        off; N = explicit (ignored unless > clip_len)."""
+        pad, L = self.cfg.clip_pad_to, self.cfg.clip_len
+        if pad < 0:
+            pad = (L + 7) // 8 * 8 if L > 64 and L % 8 else 0
+        return pad if pad > L else 0
 
     def _compiler_options(self) -> Optional[Dict[str, str]]:
         """Parse ``cfg.compiler_options`` ("k=v,k=v") for the engine jit."""

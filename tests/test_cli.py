@@ -346,3 +346,23 @@ def test_fallback_ui_server_serves_and_submits(tiny_captioner):
         assert "error" in json_mod.loads(resp.read())
     finally:
         server.shutdown()
+
+
+def test_compiler_options_parse(tiny_captioner):
+    """ConzicConfig.compiler_options "k=v,k=v" parses into the dict passed
+    to jax.jit (whitespace tolerated, empty -> None)."""
+    cap = tiny_captioner
+    old = cap.cfg.compiler_options
+    try:
+        cap.cfg.compiler_options = ""
+        assert cap._compiler_options() is None
+        cap.cfg.compiler_options = (
+            " xla_tpu_scoped_vmem_limit_kib=32768 ,"
+            "xla_tpu_enable_dot_strength_reduction=false"
+        )
+        assert cap._compiler_options() == {
+            "xla_tpu_scoped_vmem_limit_kib": "32768",
+            "xla_tpu_enable_dot_strength_reduction": "false",
+        }
+    finally:
+        cap.cfg.compiler_options = old

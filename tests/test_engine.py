@@ -765,3 +765,19 @@ def test_clip_pad_to_is_exact(captioner, tmp_path):
         np.testing.assert_allclose(
             results[0].best_cos, results[pad_to].best_cos, rtol=0, atol=1e-5
         )
+
+
+def test_clip_pad_to_auto_rule(captioner):
+    """-1 auto-aligns only the misaligned S>64 band (77->80); aligned or
+    short contexts stay unpadded; explicit values pass through."""
+    cap = captioner
+    old_pad, old_len = cap.cfg.clip_pad_to, cap.cfg.clip_len
+    try:
+        for pad, length, want in [
+            (-1, 77, 80), (-1, 72, 0), (-1, 65, 72), (-1, 64, 0),
+            (-1, 32, 0), (0, 77, 0), (80, 77, 80), (40, 77, 0),
+        ]:
+            cap.cfg.clip_pad_to, cap.cfg.clip_len = pad, length
+            assert cap._clip_pad_to() == want, (pad, length)
+    finally:
+        cap.cfg.clip_pad_to, cap.cfg.clip_len = old_pad, old_len

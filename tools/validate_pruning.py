@@ -36,6 +36,10 @@ MATRIX_PATH = os.path.join(
 
 def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
              final_exact=False):
+    """One (order, ctl, prune_k) quality cell. NOTE: the ``speedup``
+    column is wall-clock including any first-run compile of a cold spec —
+    treat it as informational; caps/s operating points come from bench.py
+    (warmed). The quality metrics are the purpose of the matrix."""
     runs = {}
     for name, pk in (("full", None), ("pruned", prune_k)):
         runs[name] = cap.run(
