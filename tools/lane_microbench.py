@@ -53,20 +53,27 @@ def bench_matmul(M, K, N, iters=50):
 
 
 def main():
+    # Part 1: contraction width K at fixed (M, N) — the lane-filling
+    # effect in isolation. The attention logits/AV contractions live at
+    # K=64 (head_dim) and K<=24 (keys); the MLPs at K=512/2048.
+    M, N = 25600, 2048
+    print(f"fixed M={M}, N={N}; sweep contraction width K:")
+    print(f"{'K':>6s} {'TFLOPS':>8s} {'%peak':>6s}")
+    for K in (24, 64, 128, 256, 512):
+        tflops = bench_matmul(M, K, N)
+        print(f"{K:6d} {tflops:8.1f} {100 * tflops / 197:5.1f}%")
+    # Part 2: the engine's actual attention shapes (tiny N — the key axis
+    # is the padded key count), dominated by issue overhead at any K.
+    print("engine attention shapes (per-head batched matmuls):")
     shapes = [
-        # (label, M, K, N)
-        ("attention logits per head: (rows*S) x D=64 x S-keys(128-pad)",
-         1600 * 16, 64, 128),
-        ("same contraction, K=128 (what full lanes would give)",
-         1600 * 16, 128, 128),
-        ("AV contraction per head: K=S=24 keys", 1600 * 16, 24, 64),
-        ("q/k/v projection: K=E=512", 1600 * 16, 512, 512),
-        ("MLP fc1: K=E=512, N=2048", 1600 * 16, 512, 2048),
+        ("logits: (rows*S) x D=64 x 128-padded keys", 1600 * 16, 64, 128),
+        ("same at K=128 (full lanes)", 1600 * 16, 128, 128),
+        ("AV: K=24 keys, N=D=64", 1600 * 16, 24, 64),
     ]
-    print(f"{'shape':62s} {'TFLOPS':>8s} {'%peak':>6s}")
+    print(f"{'shape':46s} {'TFLOPS':>8s} {'%peak':>6s}")
     for label, M, K, N in shapes:
         tflops = bench_matmul(M, K, N)
-        print(f"{label:62s} {tflops:8.1f} {100 * tflops / 197:5.1f}%")
+        print(f"{label:46s} {tflops:8.1f} {100 * tflops / 197:5.1f}%")
 
 
 if __name__ == "__main__":
