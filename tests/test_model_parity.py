@@ -290,3 +290,53 @@ def test_fullsize_bert_and_clip_drift_vs_torch():
     assert cos16.min() > 0.99, cos16
     print(f"fullsize drift: bert bf16 top-10 overlap={overlap:.3f}, "
           f"clip bf16 embed cosine min={cos16.min():.5f}")
+
+
+def test_clip_vit_l_shaped_config_parity():
+    """Conversion/architecture generality beyond ViT-B/32: a ViT-L/14
+    SHAPED config (patch 14, non-power-of-two head ratios, deeper text
+    tower) converts and matches HF torch — the reference's --match_model
+    accepts any CLIP checkpoint (clip/clip.py:12), so the rebuild's
+    converter must be shape-generic, not hardcoded to B/32."""
+    cfg = CLIPConfig(
+        text=CLIPTextConfig(
+            vocab_size=99, hidden_size=40, num_layers=3, num_heads=5,
+            intermediate_size=80, max_position_embeddings=77,
+            eos_token_id=98,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=56, num_layers=2, num_heads=7,
+            intermediate_size=112, image_size=28, patch_size=14,
+        ),
+        projection_dim=32,
+    )
+    hf = _hf_clip(cfg)
+    params = clip_params_from_state_dict(torch_state_dict_to_numpy(hf), cfg)
+    model = CLIPModel(cfg)
+
+    eos = cfg.text.eos_token_id
+    ids = np.random.randint(1, eos - 1, size=(2, 9)).astype(np.int32)
+    ids[:, -1] = eos
+    mask = np.ones_like(ids)
+    with torch.no_grad():
+        ref_text = hf.get_text_features(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).numpy()
+    got_text = np.asarray(
+        model.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+                    method=CLIPModel.encode_text)
+    )
+    np.testing.assert_allclose(got_text, ref_text, rtol=2e-4, atol=2e-4)
+
+    img = np.random.randn(2, cfg.vision.image_size, cfg.vision.image_size,
+                          3).astype(np.float32)
+    with torch.no_grad():
+        ref_img = hf.get_image_features(
+            pixel_values=torch.tensor(img).permute(0, 3, 1, 2)
+        ).numpy()
+    got_img = np.asarray(
+        model.apply({"params": params}, jnp.asarray(img),
+                    method=CLIPModel.encode_image)
+    )
+    np.testing.assert_allclose(got_img, ref_img, rtol=2e-4, atol=2e-4)
