@@ -100,6 +100,28 @@ class EngineSpec:
     exact_bridge: bool = False
 
 
+def _take_along_onehot(values: jax.Array, sel: jax.Array) -> jax.Array:
+    """``take_along_axis(values, sel, axis=1)`` as a one-hot contraction.
+
+    The (B, k)-shaped take-alongs in the pruned tier lower to kCustom
+    scalar-core gathers (~0.47 ms/position at prune5/B=128 in the trace
+    budget); a one-hot fp32 matmul keeps the op on the vector units. All
+    gathered payloads here (token ids < 2^24, probabilities) are exactly
+    representable in fp32, so the contraction is exact.
+
+    MEASURED NEUTRAL end-to-end (prune5/B=128: 51.43 vs 51.38 caps/s, r3)
+    — the gathers overlap other work. Kept as a tested utility; the
+    engine uses the plain take_along (fusion-preservation discipline:
+    only keep reformulations that WIN).
+    """
+    k = values.shape[1]
+    onehot = (
+        sel[..., None] == jax.lax.broadcasted_iota(sel.dtype, (k,), 0)
+    ).astype(jnp.float32)
+    out = jnp.einsum("bsk,bk->bs", onehot, values.astype(jnp.float32))
+    return out.astype(values.dtype)
+
+
 class IterOut(NamedTuple):
     ids: jax.Array  # (B, S) snapshot after the iteration
     cosine: jax.Array  # (B,) clip cosine of the last committed candidate

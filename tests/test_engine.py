@@ -781,3 +781,21 @@ def test_clip_pad_to_auto_rule(captioner):
             assert cap._clip_pad_to() == want, (pad, length)
     finally:
         cap.cfg.clip_pad_to, cap.cfg.clip_len = old_pad, old_len
+
+
+def test_take_along_onehot_exact():
+    """The pruned tier's one-hot take-along == jnp.take_along_axis for
+    int32 ids and f32 probabilities (exactness precondition: payloads
+    < 2^24)."""
+    from conzic_tpu.engine.gibbs import _take_along_onehot
+
+    rng = np.random.RandomState(0)
+    vals_i = rng.randint(0, 30522, size=(4, 200)).astype(np.int32)
+    vals_f = rng.rand(4, 200).astype(np.float32)
+    sel = rng.randint(0, 200, size=(4, 5)).astype(np.int32)
+    for vals in (vals_i, vals_f):
+        got = np.asarray(_take_along_onehot(jnp.asarray(vals),
+                                            jnp.asarray(sel)))
+        ref = np.take_along_axis(vals, sel, axis=1)
+        np.testing.assert_array_equal(got, ref)
+        assert got.dtype == vals.dtype

@@ -52,6 +52,26 @@ def main():
                 rng=np.random.RandomState(0))
         print(f"warmed {order} B={B} k={k} iters={iters} ctl={ctl}: "
               f"{time.time() - t0:.0f}s", flush=True)
+    if not args.quick:
+        # speed-tier + long-context operating points (BASELINE.md r3)
+        for pk, fe, B in ((5, False, 128), (5, True, 128)):
+            emb = jnp.asarray(np.zeros((B, D), np.float32))
+            t0 = time.time()
+            cap.run(emb, prompt="Image of a", max_len=10, top_k=200,
+                    temperature=0.1, max_iter=15, alpha=0.02, beta=2.0,
+                    order="sequential", prune_k=pk, prune_final_exact=fe,
+                    rng=np.random.RandomState(0))
+            print(f"warmed prune{pk}{'+final_exact' if fe else ''} B={B}: "
+                  f"{time.time() - t0:.0f}s", flush=True)
+        cap.cfg.clip_len = 77  # auto-pads to 80 (clip_pad_to=-1)
+        emb = jnp.asarray(np.zeros((8, D), np.float32))
+        t0 = time.time()
+        cap.run(emb, prompt="Image of a", max_len=10, top_k=200,
+                temperature=0.1, max_iter=15, alpha=0.02, beta=2.0,
+                order="sequential", rng=np.random.RandomState(0))
+        print(f"warmed clip_len=77/pad80 B=8: {time.time() - t0:.0f}s",
+              flush=True)
+        cap.cfg.clip_len = 24
 
 
 if __name__ == "__main__":
