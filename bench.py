@@ -44,6 +44,7 @@ KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
 ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
 TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "16000"))
 PAD_TO = int(os.environ.get("CONZIC_BENCH_PAD_TO", "-1"))  # -1 = auto
+TOPK_CHUNK = int(os.environ.get("CONZIC_BENCH_TOPK_CHUNK", "2048"))
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 # Default engine compiler options: the tools/flag_sweep.py winner on this
 # toolchain (XLA_FLAG_SWEEP.json, r3). Measured at B=32 over repeats:
@@ -93,6 +94,7 @@ def build_captioner():
     cfg.quant = QUANT if on_tpu else "none"
     cfg.compiler_options = XLA_OPTIONS if on_tpu else ""
     cfg.clip_pad_to = PAD_TO
+    cfg.topk_chunk = TOPK_CHUNK
     if SMALL_MODELS:
         return Captioner.from_random(
             config=cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32

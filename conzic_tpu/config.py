@@ -103,6 +103,11 @@ class ConzicConfig:
     # alignment win).
     clip_pad_to: int = -1
     attn_impl: str = "xla"  # xla | twoblock | pallas | pallas_out | xla_bhsd
+    # block width of the exact two-stage top-k (engages at B>=128); the
+    # stage-1 batched sort is the pruned tier's largest single op.
+    # Sweep at prune5/B=128 (r3): 1024 -> 51.92, 2048 -> 51.93,
+    # 4096 -> 51.43, 8192 -> 50.50 caps/s
+    topk_chunk: int = 2048
     # extra XLA compiler options for the engine program, "k=v,k=v" (e.g.
     # "xla_tpu_scoped_vmem_limit_kib=65536"). Empty = toolchain defaults.
     # Sweep results: tools/flag_sweep.py -> XLA_FLAG_SWEEP.json.
@@ -184,6 +189,7 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    default=d.clip_token_budget)
     p.add_argument("--clip_len", type=int, default=d.clip_len)
     p.add_argument("--clip_pad_to", type=int, default=d.clip_pad_to)
+    p.add_argument("--topk_chunk", type=int, default=d.topk_chunk)
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
                    choices=["xla", "twoblock", "xla_bhsd", "pallas",
                             "pallas_out"])

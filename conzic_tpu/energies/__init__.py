@@ -72,7 +72,8 @@ def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
     return v2, idxs
 
 
-def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int):
+def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
+                    chunk: int = 4096):
     """Top-k of masked probs; candidate ids with zero mask collapse to 0
     ([PAD]) exactly like the reference's ``(idxs * mask[idxs]).long()``
     (gen_utils.py:72). ``token_mask`` may be (V,) or per-row (B, V).
@@ -86,7 +87,7 @@ def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int):
     not open-ended (ADVICE r2). Both forms are exact (identical results
     incl. tie order, tests/test_engine.py)."""
     if 128 <= probs.shape[0] < 256:
-        top_probs, idxs = exact_topk_2stage(probs, k)
+        top_probs, idxs = exact_topk_2stage(probs, k, chunk=chunk)
     else:
         top_probs, idxs = jax.lax.top_k(probs, k)
     if token_mask.ndim == 1:

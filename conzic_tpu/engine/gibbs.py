@@ -93,6 +93,11 @@ class EngineSpec:
     # lane/sublane-aligned S escapes the S>64 XLA copy regime that makes
     # clip_len=77 disproportionately slow (VERDICT r2 item 4). 0 disables.
     clip_pad_to: int = 0
+    # per-block width of the exact two-stage top-k (engages at B>=128;
+    # energies.exact_topk_2stage) — the stage-1 batched sort is the pruned
+    # tier's largest single op, so its block shape is tunable (config.py
+    # carries the measured curve; 2048 is the plateau optimum)
+    topk_chunk: int = 2048
     # host-exact candidate assembly: CLIP ids come from a pure host
     # callback reproducing the reference's decode -> re-tokenize
     # (gen_utils.py:75 + clip/clip.py:71-73) byte-exactly, including
@@ -233,7 +238,9 @@ def _position_update(
     col = spec.seed_len + pos  # (B,)
 
     probs = energies.masked_lm_probs(logits, token_mask, hyper["temperature"])
-    top_probs, idxs = energies.topk_candidates(probs, token_mask, k)
+    top_probs, idxs = energies.topk_candidates(
+        probs, token_mask, k, chunk=spec.topk_chunk
+    )
 
     if spec.prune_k is not None and spec.prune_k < k:
         # stage-1 proxy: cos(image, normalize(bag(base words) + w[cand]))

@@ -470,6 +470,7 @@ class Captioner:
             prefix_chunks=None if exact else prefix_chunks,
             clip_row_chunk=row_chunk,
             clip_pad_to=self._clip_pad_to(),
+            topk_chunk=self.cfg.topk_chunk,
             exact_bridge=exact,
         )
 
