@@ -799,3 +799,32 @@ def test_take_along_onehot_exact():
         ref = np.take_along_axis(vals, sel, axis=1)
         np.testing.assert_array_equal(got, ref)
         assert got.dtype == vals.dtype
+
+
+def test_masked_and_banned_ids_never_committed(captioner):
+    """Property (SURVEY §4): committed sentence tokens are never [MASK]
+    and never a mask-banned id — across orders and iterations. Banned
+    candidates collapse to [PAD] (gen_utils.py:72) and [PAD] carries prob
+    0, so a committed [PAD] would also indicate a scoring bug."""
+    cap = captioner
+    rng = np.random.RandomState(17)
+    embeds = jnp.asarray(
+        rng.randn(2, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    mask_mid = np.asarray(cap.tables["mask_mid"])
+    mask_last = np.asarray(cap.tables["mask_last"])
+    seed_len = cap.seed_len("Image of a")
+    L = 5
+    for order in ("sequential", "shuffle", "span"):
+        r = cap.run(
+            embeds, prompt="Image of a", max_len=L, top_k=8,
+            temperature=0.1, max_iter=2, alpha=0.02, beta=2.0,
+            order=order, rng=np.random.RandomState(3),
+        )
+        sent = r.iter_ids[:, :, seed_len : seed_len + L]
+        assert (sent != cap.wp.mask_token_id).all(), order
+        # every committed non-final token is mask_mid-allowed; the final
+        # slot may additionally use '.' (mask_last)
+        mid, last = sent[:, :, :-1].ravel(), sent[:, :, -1].ravel()
+        assert mask_mid[mid].all(), order
+        assert mask_last[last].all(), order
