@@ -134,8 +134,10 @@ def main():
              for o in ("shuffle", "span", "random")]
     jobs += [("sequential", c, args.prune_k, False)
              for c in ("sentiment", "pos")]
-    # hybrid pruned+exact final-sweep cells (the quality-bounded tier)
+    # hybrid pruned+exact final-sweep cells (the quality-bounded tier),
+    # free + both control energies
     jobs += [("sequential", None, pk, True) for pk in (5, 10, 20)]
+    jobs += [("sequential", c, 5, True) for c in ("sentiment", "pos")]
     if args.merge:
         jobs = [
             (o, c, pk, fe) for o, c, pk, fe in jobs
