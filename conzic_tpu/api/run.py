@@ -112,14 +112,26 @@ def main(argv=None):
         cfg, random_models=args.random_models, mesh=build_mesh(cfg)
     )
 
+    from conzic_tpu.runtime.image import preprocess_batch_pil
+    from conzic_tpu.runtime.prefetch import prefetch_map
+
+    image_size = captioner.clip_model.config.vision.image_size
+
+    def host_pipeline(batch):
+        # decode+resize+normalize on the prefetch thread: overlaps the
+        # previous batch's device generation (runtime/prefetch.py)
+        imgs, names = batch
+        return preprocess_batch_pil(imgs, image_size), names
+
     for sample_id in range(cfg.samples_num):
         all_results = [None] * (cfg.num_iterations + 1)
         logger.info(f"Sample {sample_id + 1}: ")
-        for batch_idx, (imgs, names) in enumerate(
-            iter_image_batches(cfg.caption_img_path, cfg.batch_size, logger)
-        ):
+        for batch_idx, (pixels, names) in enumerate(prefetch_map(
+            host_pipeline,
+            iter_image_batches(cfg.caption_img_path, cfg.batch_size, logger),
+        )):
             logger.info(f"The {batch_idx + 1}-th batch:")
-            image_embeds = captioner.encode_images(imgs)
+            image_embeds = captioner.encode_images(pixels)
             if cfg.run_type == "caption":
                 gen_texts, _ = generate_caption(
                     names, captioner, image_embeds, logger,

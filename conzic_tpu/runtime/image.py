@@ -41,8 +41,30 @@ def preprocess_pil(image, image_size: int = 224) -> np.ndarray:
     return (arr - CLIP_MEAN) / CLIP_STD
 
 
-def preprocess_batch_pil(images, image_size: int = 224) -> np.ndarray:
-    return np.stack([preprocess_pil(im, image_size) for im in images])
+def preprocess_batch_pil(images, image_size: int = 224,
+                         workers: int = 0) -> np.ndarray:
+    """Batch host preprocessing; ``workers`` > 1 parallelizes across a
+    thread pool (PIL's decode/resize release the GIL). 0 = auto: threads
+    for batches of >= 8 images on multi-core hosts — at B=128 the serial
+    pipeline costs ~1-3 s, comparable to a whole pruned-tier generation,
+    so the batched runner would otherwise be host-bound. Measured r3 on
+    THIS 1-core VM: threads are 0.6-0.9x (pure overhead) — auto stays
+    serial there; real v5e hosts have many cores."""
+    import os
+
+    if workers == 0:
+        ncpu = os.cpu_count() or 1
+        workers = min(16, ncpu, len(images)) if (
+            len(images) >= 8 and ncpu > 1
+        ) else 1
+    if workers <= 1 or len(images) <= 1:
+        return np.stack([preprocess_pil(im, image_size) for im in images])
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        outs = list(pool.map(lambda im: preprocess_pil(im, image_size),
+                             images))
+    return np.stack(outs)
 
 
 def preprocess_jax(pixels, image_size: int = 224):

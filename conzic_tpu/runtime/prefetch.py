@@ -1,0 +1,48 @@
+"""Host-side pipeline prefetch.
+
+The batched runner's host work (JPEG decode + bicubic resize + normalize)
+costs ~1-3 s per 128-image batch — comparable to an entire pruned-tier
+generation on device. A one-ahead background thread overlaps batch i+1's
+host pipeline with batch i's device generation; while the main thread
+blocks on device results it holds no GIL, so the overlap is effective
+even on a single-core host (this VM). The reference loads images inline
+on the main thread (run.py:156-178).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+U = TypeVar("U")
+
+_SENTINEL = object()
+
+
+def prefetch_map(fn: Callable[[T], U], iterable: Iterable[T],
+                 depth: int = 1) -> Iterator[U]:
+    """``map(fn, iterable)`` computed ``depth`` items ahead on a worker
+    thread. Order-preserving; exceptions from ``fn`` (or the iterable)
+    re-raise at the consuming site."""
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put((True, fn(item)))
+        except BaseException as e:  # propagate to the consumer
+            q.put((False, e))
+            return
+        q.put((True, _SENTINEL))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        ok, item = q.get()
+        if not ok:
+            raise item
+        if item is _SENTINEL:
+            return
+        yield item

@@ -366,3 +366,24 @@ def test_compiler_options_parse(tiny_captioner):
         }
     finally:
         cap.cfg.compiler_options = old
+
+
+def test_prefetch_map_order_and_errors():
+    """runtime/prefetch.py: order-preserving one-ahead map; exceptions
+    from the mapped fn propagate at the consuming site."""
+    from conzic_tpu.runtime.prefetch import prefetch_map
+
+    assert list(prefetch_map(lambda x: x * 2, range(7))) == [
+        0, 2, 4, 6, 8, 10, 12
+    ]
+
+    def boom(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    out = []
+    with pytest.raises(ValueError, match="boom"):
+        for v in prefetch_map(boom, range(10)):
+            out.append(v)
+    assert out == [0, 1, 2]
