@@ -108,10 +108,15 @@ class ConzicConfig:
     # Sweep at prune5/B=128 (r3): 1024 -> 51.92, 2048 -> 51.93,
     # 4096 -> 51.43, 8192 -> 50.50 caps/s
     topk_chunk: int = 2048
-    # extra XLA compiler options for the engine program, "k=v,k=v" (e.g.
-    # "xla_tpu_scoped_vmem_limit_kib=65536"). Empty = toolchain defaults.
-    # Sweep results: tools/flag_sweep.py -> XLA_FLAG_SWEEP.json.
-    compiler_options: str = ""
+    # extra XLA compiler options for the engine program, "k=v,k=v" —
+    # applied on TPU backends only (sampler guard). Default = the
+    # tools/flag_sweep.py winner on v5e (XLA_FLAG_SWEEP.json: +3-5% full
+    # parity over repeats; vmem 32768 and no-dot-strength-reduction stack).
+    # Set "" to fall back to toolchain defaults.
+    compiler_options: str = (
+        "xla_tpu_scoped_vmem_limit_kib=32768,"
+        "xla_tpu_enable_dot_strength_reduction=false"
+    )
     mesh_data_axis: int = 1  # chips to shard the (images x samples) batch over
     matmul_precision: str = "default"  # default | high | highest
     scan_layers: bool = False  # nn.scan layers: smaller program, but 3x slower cold compile on this toolchain (see ROADMAP)

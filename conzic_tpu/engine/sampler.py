@@ -524,9 +524,11 @@ class Captioner:
         return pad if pad > L else 0
 
     def _compiler_options(self) -> Optional[Dict[str, str]]:
-        """Parse ``cfg.compiler_options`` ("k=v,k=v") for the engine jit."""
+        """Parse ``cfg.compiler_options`` ("k=v,k=v") for the engine jit.
+        TPU-only: the default options are TPU flag names, which other
+        backends' compilers reject."""
         s = (self.cfg.compiler_options or "").strip()
-        if not s:
+        if not s or jax.default_backend() != "tpu":
             return None
         out = {}
         for kv in s.split(","):

@@ -348,12 +348,20 @@ def test_fallback_ui_server_serves_and_submits(tiny_captioner):
         server.shutdown()
 
 
-def test_compiler_options_parse(tiny_captioner):
+def test_compiler_options_parse(tiny_captioner, monkeypatch):
     """ConzicConfig.compiler_options "k=v,k=v" parses into the dict passed
-    to jax.jit (whitespace tolerated, empty -> None)."""
+    to jax.jit (whitespace tolerated, empty -> None) — and is suppressed
+    entirely off-TPU (the default options are TPU flag names)."""
+    from conzic_tpu.engine import sampler as sampler_mod
+
     cap = tiny_captioner
     old = cap.cfg.compiler_options
     try:
+        # CPU backend (this test env): always None, even with the default
+        # (non-empty) option string
+        assert cap._compiler_options() is None
+        monkeypatch.setattr(sampler_mod.jax, "default_backend",
+                            lambda: "tpu")
         cap.cfg.compiler_options = ""
         assert cap._compiler_options() is None
         cap.cfg.compiler_options = (
