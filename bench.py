@@ -46,16 +46,11 @@ TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "16000"))
 PAD_TO = int(os.environ.get("CONZIC_BENCH_PAD_TO", "-1"))  # -1 = auto
 TOPK_CHUNK = int(os.environ.get("CONZIC_BENCH_TOPK_CHUNK", "2048"))
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
-# Default engine compiler options: the tools/flag_sweep.py winner on this
-# toolchain (XLA_FLAG_SWEEP.json, r3). Measured at B=32 over repeats:
-# combo 3.19-3.24 caps/s vs 3.085-3.092 base (~+3..5%); scoped-vmem 32768
-# alone +2.6%, dot-strength-reduction off alone +3.3%, and the two stack.
-# Override (or clear) with CONZIC_BENCH_XLA_OPTIONS.
-DEFAULT_XLA_OPTIONS = (
-    "xla_tpu_scoped_vmem_limit_kib=32768,"
-    "xla_tpu_enable_dot_strength_reduction=false"
-)
-XLA_OPTIONS = os.environ.get("CONZIC_BENCH_XLA_OPTIONS", DEFAULT_XLA_OPTIONS)
+# Engine compiler options: None = keep ConzicConfig's default (the
+# tools/flag_sweep.py winner, measured +3-5% full parity at B=32 —
+# config.py is the single source of truth). CONZIC_BENCH_XLA_OPTIONS
+# overrides; set it to "" (or " ") for toolchain defaults.
+XLA_OPTIONS = os.environ.get("CONZIC_BENCH_XLA_OPTIONS")
 # tiny test towers instead of the full architecture — for smoke-driving the
 # bench harness itself on CPU (tools/checkpoint_runbook.py); NOT a valid
 # headline configuration
@@ -92,7 +87,8 @@ def build_captioner():
     cfg.clip_row_chunk = ROW_CHUNK
     cfg.clip_token_budget = TOKEN_BUDGET
     cfg.quant = QUANT if on_tpu else "none"
-    cfg.compiler_options = XLA_OPTIONS if on_tpu else ""
+    if XLA_OPTIONS is not None:  # env override; sampler applies TPU-only
+        cfg.compiler_options = XLA_OPTIONS
     cfg.clip_pad_to = PAD_TO
     cfg.topk_chunk = TOPK_CHUNK
     if SMALL_MODELS:

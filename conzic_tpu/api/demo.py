@@ -138,14 +138,7 @@ def main(argv=None):
                         help="run samples as a sequential loop instead of "
                              "fused batch lanes (same results either way)")
     args = parser.parse_args(argv)
-    if getattr(args, "device", None) == "cpu":
-        # functional (not just accepted): the TPU platform plugin
-        # overrides JAX_PLATFORMS, so forcing CPU requires jax.config
-        # before backend init (CLAUDE.md)
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    cfg = config_from_args(args)
+    cfg = config_from_args(args)  # --device cpu handled there (functional)
     rng = set_seed(cfg.seed)
 
     logger = create_logger(

@@ -84,13 +84,7 @@ def main(argv=None):
                              "checkpoints; 'tiny' uses small test towers")
     parser.set_defaults(batch_size=2, caption_img_path="./examples/")
     args = parser.parse_args(argv)
-    if getattr(args, "device", None) == "cpu":
-        # functional --device cpu: the TPU plugin overrides JAX_PLATFORMS,
-        # so forcing CPU requires jax.config before backend init
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    cfg = config_from_args(args)
+    cfg = config_from_args(args)  # --device cpu handled there (functional)
     rng = set_seed(cfg.seed)
 
     run_type = "caption" if cfg.run_type == "caption" else cfg.control_type

@@ -139,7 +139,8 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch_size", type=int, default=d.batch_size)
     p.add_argument("--device", type=str, default="tpu",
                    choices=["tpu", "cpu", "cuda"],
-                   help="accepted for reference parity; jax picks the backend")
+                   help="cpu forces the CPU backend (functional); "
+                        "tpu/cuda let jax pick the platform")
     p.add_argument("--run_type", default=d.run_type, nargs="?",
                    choices=["caption", "controllable"])
     p.add_argument("--prompt", default=d.prompt, type=str)
@@ -204,6 +205,15 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
 
 
 def config_from_args(args: argparse.Namespace) -> ConzicConfig:
+    if getattr(args, "device", None) == "cpu":
+        # functional --device cpu for EVERY entry point that parses the
+        # shared flags: the TPU platform plugin overrides JAX_PLATFORMS,
+        # so forcing CPU requires jax.config before backend init
+        # (CLAUDE.md). Safe here — config parsing precedes any model
+        # build in all CLIs.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cfg = ConzicConfig()
     for f in dataclasses.fields(ConzicConfig):
         if hasattr(args, f.name):

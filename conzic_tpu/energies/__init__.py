@@ -51,6 +51,8 @@ def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
     tested utility, NOT used by the engine.
     """
     B, V = probs.shape
+    if chunk <= 0:  # 0 disables chunking, like the sibling knobs
+        return jax.lax.top_k(probs, k)
     n_chunks = V // chunk
     if n_chunks < 2 or k > chunk // 2:
         return jax.lax.top_k(probs, k)

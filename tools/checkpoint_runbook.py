@@ -158,9 +158,11 @@ def main():
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
+    # a step failed unless it exited 0 or was explicitly skipped —
+    # timeouts record rc=None and MUST count as failures
     failed = [n for n, r in steps.items()
-              if isinstance(r, dict) and r.get("rc") not in (0, None)
-              and "skipped" not in r]
+              if isinstance(r, dict) and "skipped" not in r
+              and r.get("rc") != 0]
     print(f"dossier written to {args.out}; "
           f"{'ALL STEPS OK' if not failed else 'FAILED: ' + ', '.join(failed)}")
     sys.exit(1 if failed else 0)

@@ -92,9 +92,13 @@ def main():
         if name not in CONFIGS:
             print(f"unknown config {name!r}; have {sorted(CONFIGS)}")
             continue
-        if not args.rerun and name in results["configs"] and \
-                results["configs"][name].get("caps_per_s") is not None:
-            print(f"[{name}] cached: {results['configs'][name]}")
+        cached = results["configs"].get(name)
+        if not args.rerun and cached and \
+                cached.get("caps_per_s") is not None and \
+                cached.get("batch", results.get("batch")) == args.batch:
+            # a cached number measured at a DIFFERENT batch is a
+            # different operating point: re-measure instead of reusing
+            print(f"[{name}] cached: {cached}")
             continue
         env = dict(os.environ)
         env["PYTHONPATH"] = "/root/.axon_site:" + env.get("PYTHONPATH", "")
@@ -119,6 +123,7 @@ def main():
                 results["configs"][name] = {
                     "options": CONFIGS[name],
                     "caps_per_s": val,
+                    "batch": args.batch,
                     "wall_s": round(time.time() - t0, 1),
                 }
                 print(f"[{name}] {val} caps/s "
