@@ -61,6 +61,13 @@ CONFIGS = {
         "xla_tpu_scoped_vmem_limit_kib=40960,"
         "xla_tpu_enable_dot_strength_reduction=false"
     ),
+    # phase 3: stack the adopted winner with the only other
+    # positive-leaning phase-1 option
+    "winner_async": (
+        "xla_tpu_scoped_vmem_limit_kib=32768,"
+        "xla_tpu_enable_dot_strength_reduction=false,"
+        "xla_tpu_async_copy_bandwidth_scaling_factor=2.0"
+    ),
 }
 
 
