@@ -45,6 +45,9 @@ ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
 TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "16000"))
 PAD_TO = int(os.environ.get("CONZIC_BENCH_PAD_TO", "-1"))  # -1 = auto
 TOPK_CHUNK = int(os.environ.get("CONZIC_BENCH_TOPK_CHUNK", "2048"))
+# pruned-tier-only: "approx" = approx_max_k stage-1 candidate top-k
+TOPK_MODE = os.environ.get("CONZIC_BENCH_TOPK_MODE", "exact")
+TOPK_RECALL = float(os.environ.get("CONZIC_BENCH_TOPK_RECALL", "0.95"))
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 # Engine compiler options: None = keep ConzicConfig's default (the
 # tools/flag_sweep.py winner, measured +3-5% full parity at B=32 —
@@ -91,6 +94,9 @@ def build_captioner():
         cfg.compiler_options = XLA_OPTIONS
     cfg.clip_pad_to = PAD_TO
     cfg.topk_chunk = TOPK_CHUNK
+    if PRUNE:  # the sampler refuses approx mode without prune_k
+        cfg.topk_mode = TOPK_MODE
+        cfg.topk_recall = TOPK_RECALL
     if SMALL_MODELS:
         return Captioner.from_random(
             config=cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32

@@ -108,6 +108,12 @@ class ConzicConfig:
     # Sweep at prune5/B=128 (r3): 1024 -> 51.92, 2048 -> 51.93,
     # 4096 -> 51.43, 8192 -> 50.50 caps/s
     topk_chunk: int = 2048
+    # stage-1 vocab top-k mode: "exact" (parity) or "approx"
+    # (jax.lax.approx_max_k, TPU PartialReduce custom call) — NON-parity,
+    # only allowed together with prune_k (the proxy-pruned tier is already
+    # approximate and quality-gated); the hybrid final sweep stays exact.
+    topk_mode: str = "exact"
+    topk_recall: float = 0.95  # approx_max_k per-call recall target
     # extra XLA compiler options for the engine program, "k=v,k=v" —
     # applied on TPU backends only (sampler guard). Default = the
     # tools/flag_sweep.py winner on v5e (XLA_FLAG_SWEEP.json: +3-5% full
@@ -196,6 +202,11 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--clip_len", type=int, default=d.clip_len)
     p.add_argument("--clip_pad_to", type=int, default=d.clip_pad_to)
     p.add_argument("--topk_chunk", type=int, default=d.topk_chunk)
+    p.add_argument("--topk_mode", type=str, default=d.topk_mode,
+                   choices=["exact", "approx"],
+                   help="approx = approx_max_k stage-1 candidate top-k "
+                        "(non-parity; requires --prune_k)")
+    p.add_argument("--topk_recall", type=float, default=d.topk_recall)
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
                    choices=["xla", "twoblock", "xla_bhsd", "pallas",
                             "pallas_out"])

@@ -75,7 +75,8 @@ def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
 
 
 def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
-                    chunk: int = 4096):
+                    chunk: int = 4096, mode: str = "exact",
+                    recall: float = 0.95):
     """Top-k of masked probs; candidate ids with zero mask collapse to 0
     ([PAD]) exactly like the reference's ``(idxs * mask[idxs]).long()``
     (gen_utils.py:72). ``token_mask`` may be (V,) or per-row (B, V).
@@ -87,8 +88,20 @@ def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
     The chunked form wins only in a WINDOW around B=128 — the single
     call is faster again at B=256 — so the gate is the measured window,
     not open-ended (ADVICE r2). Both forms are exact (identical results
-    incl. tie order, tests/test_engine.py)."""
-    if 128 <= probs.shape[0] < 256:
+    incl. tie order, tests/test_engine.py).
+
+    ``mode="approx"`` (NON-parity, pruned-tier-only lever) swaps in the
+    TPU-native ``jax.lax.approx_max_k`` PartialReduce with the given
+    per-call ``recall_target`` — the candidate set may drop tail members
+    of the exact top-k (on CPU backends the op lowers to exact sort, so
+    recall is 1.0 there). The engine only permits this together with
+    ``prune_k``, whose proxy re-ranking already makes the tier
+    approximate and quality-gated (PRUNING_MATRIX.json)."""
+    if mode == "approx":
+        top_probs, idxs = jax.lax.approx_max_k(
+            probs, k, recall_target=recall, aggregate_to_topk=True
+        )
+    elif 128 <= probs.shape[0] < 256:
         top_probs, idxs = exact_topk_2stage(probs, k, chunk=chunk)
     else:
         top_probs, idxs = jax.lax.top_k(probs, k)

@@ -98,6 +98,13 @@ class EngineSpec:
     # tier's largest single op, so its block shape is tunable (config.py
     # carries the measured curve; 2048 is the plateau optimum)
     topk_chunk: int = 2048
+    # stage-1 vocab top-k mode: "exact" (parity) or "approx" —
+    # jax.lax.approx_max_k with topk_recall as the per-call recall target
+    # (NON-parity; the engine requires prune_k alongside it, so it only
+    # ever relaxes the already-approximate pruned tier). The hybrid
+    # final_exact sweep always resets to "exact".
+    topk_mode: str = "exact"
+    topk_recall: float = 0.95
     # host-exact candidate assembly: CLIP ids come from a pure host
     # callback reproducing the reference's decode -> re-tokenize
     # (gen_utils.py:75 + clip/clip.py:71-73) byte-exactly, including
@@ -239,7 +246,8 @@ def _position_update(
 
     probs = energies.masked_lm_probs(logits, token_mask, hyper["temperature"])
     top_probs, idxs = energies.topk_candidates(
-        probs, token_mask, k, chunk=spec.topk_chunk
+        probs, token_mask, k, chunk=spec.topk_chunk,
+        mode=spec.topk_mode, recall=spec.topk_recall,
     )
 
     if spec.prune_k is not None and spec.prune_k < k:
@@ -572,7 +580,9 @@ def run_generation(
         # FULL k-candidate scoring — the committed caption is a full-parity
         # polish of the pruned trajectory (same compiled program; the full
         # body is a second sweep instance inside it)
-        full_spec = dataclasses.replace(spec, prune_k=None, final_exact=False)
+        full_spec = dataclasses.replace(
+            spec, prune_k=None, final_exact=False, topk_mode="exact"
+        )
         final_iteration = _make_sweep(
             full_spec, bert, clip, params, tables, hyper, image_embeds,
             host_bridge=host_bridge, host_ctl=host_ctl, prefix_kvs=prefix_kvs,

@@ -444,6 +444,12 @@ class Captioner:
               final_exact=False, ctl_key="") -> EngineSpec:
         exact = self.cfg.bridge_mode == "exact"
         ctl_mode = self.cfg.ctl_mode if ctl is not None else "table"
+        if self.cfg.topk_mode == "approx" and not prune_k:
+            raise ValueError(
+                "topk_mode='approx' is a pruned-tier-only lever: it relaxes "
+                "the candidate set (non-parity) and is refused without "
+                "prune_k so the full-parity tier stays exact"
+            )
         row_chunk = self.cfg.clip_row_chunk
         budget = self.cfg.clip_token_budget
         if row_chunk and budget and self.cfg.clip_len > 48:
@@ -471,6 +477,8 @@ class Captioner:
             clip_row_chunk=row_chunk,
             clip_pad_to=self._clip_pad_to(),
             topk_chunk=self.cfg.topk_chunk,
+            topk_mode=self.cfg.topk_mode,
+            topk_recall=self.cfg.topk_recall,
             exact_bridge=exact,
         )
 

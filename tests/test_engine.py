@@ -306,6 +306,30 @@ def test_candidate_pruning_runs_and_commits_valid_tokens(captioner):
     assert r.best_cos[0] <= full.best_cos[0] + 0.2
 
 
+def test_topk_mode_approx_pruned_only(captioner):
+    """``topk_mode="approx"`` (jax.lax.approx_max_k stage-1) is refused
+    without prune_k (it would silently de-parity the exact tier), and with
+    prune_k it runs; on CPU backends approx_max_k lowers to an exact sort,
+    so the run must match the exact-mode pruned run byte-for-byte here."""
+    cap = captioner
+    rng = np.random.RandomState(13)
+    image_embeds = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    kwargs = dict(prompt="Image of a", max_len=5, top_k=12, temperature=0.1,
+                  max_iter=2, alpha=0.02, beta=2.0, order="sequential")
+    exact = cap.run(image_embeds, prune_k=4, **kwargs)
+    old = cap.cfg.topk_mode
+    cap.cfg.topk_mode = "approx"
+    try:
+        with pytest.raises(ValueError, match="pruned-tier-only"):
+            cap.run(image_embeds, **kwargs)
+        approx = cap.run(image_embeds, prune_k=4, **kwargs)
+    finally:
+        cap.cfg.topk_mode = old
+    assert approx.gen_texts_list == exact.gen_texts_list
+
+
 def _naive_sentiment_sequential(cap, image_embeds, prompt, max_len, top_k,
                                 temperature, max_iters, alpha, beta, gamma,
                                 negative):

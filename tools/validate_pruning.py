@@ -35,13 +35,19 @@ MATRIX_PATH = os.path.join(
 
 
 def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
-             final_exact=False):
+             final_exact=False, topk_mode="exact"):
     """One (order, ctl, prune_k) quality cell. NOTE: the ``speedup``
     column is wall-clock including any first-run compile of a cold spec —
     treat it as informational; caps/s operating points come from bench.py
-    (warmed). The quality metrics are the purpose of the matrix."""
+    (warmed). The quality metrics are the purpose of the matrix.
+
+    ``topk_mode="approx"`` applies to the PRUNED run only (the sampler
+    refuses it without prune_k); the full-parity side always uses the
+    exact stage-1 top-k, so the cell measures the combined
+    approx-candidate-set + proxy-pruning quality gap."""
     runs = {}
     for name, pk in (("full", None), ("pruned", prune_k)):
+        cap.cfg.topk_mode = topk_mode if pk else "exact"
         runs[name] = cap.run(
             embeds, prompt="Image of a", max_len=sentence_len,
             top_k=k, temperature=0.1, max_iter=iters,
@@ -50,6 +56,7 @@ def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
             rng=np.random.RandomState(42), prune_k=pk,
             prune_final_exact=final_exact and pk is not None,
         )
+    cap.cfg.topk_mode = "exact"
     full, pruned = runs["full"], runs["pruned"]
     finals_f = full.gen_texts_list[-2]
     finals_p = pruned.gen_texts_list[-2]
@@ -83,6 +90,11 @@ def main():
     p.add_argument("--merge", action="store_true",
                    help="keep existing cells in --out and only run the "
                         "missing ones")
+    p.add_argument("--topk_mode", default="exact",
+                   choices=["exact", "approx"],
+                   help="stage-1 candidate top-k of the PRUNED run "
+                        "(approx = approx_max_k; exact on CPU backends)")
+    p.add_argument("--topk_recall", type=float, default=0.95)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon TPU plugin "
                         "overrides JAX_PLATFORMS; see CLAUDE.md)")
@@ -111,7 +123,9 @@ def main():
             np.float32
         )
     )
-    common = dict(sentence_len=args.sentence_len, iters=args.iters, k=args.k)
+    cap.cfg.topk_recall = args.topk_recall
+    common = dict(sentence_len=args.sentence_len, iters=args.iters, k=args.k,
+                  topk_mode=args.topk_mode)
 
     if not args.matrix:
         cell = run_cell(cap, embeds, order="sequential", ctl=None,
@@ -138,16 +152,22 @@ def main():
     # free + both control energies
     jobs += [("sequential", None, pk, True) for pk in (5, 10, 20)]
     jobs += [("sequential", c, 5, True) for c in ("sentiment", "pos")]
+    # approx stage-1 cells get their own key suffix so they never
+    # overwrite the exact-top-k cells in a --merge
+    suffix = (
+        f"+approx{args.topk_recall:g}" if args.topk_mode == "approx" else ""
+    )
     if args.merge:
         jobs = [
             (o, c, pk, fe) for o, c, pk, fe in jobs
-            if f"{o}/{c or 'free'}/prune{pk}{'+final_exact' if fe else ''}"
+            if f"{o}/{c or 'free'}/prune{pk}"
+               f"{'+final_exact' if fe else ''}{suffix}"
             not in cells
         ]
     for order, ctl, pk, fe in jobs:
         key = f"{order}/{ctl or 'free'}/prune{pk}" + (
             "+final_exact" if fe else ""
-        )
+        ) + suffix
         print(f"--- {key}", flush=True)
         cell = run_cell(cap, embeds, order=order, ctl=ctl, prune_k=pk,
                         final_exact=fe, **common)
