@@ -19,8 +19,11 @@ sides run full-architecture randomly initialized models over a synthetic
 Env knobs: CONZIC_BENCH_BATCH (default 32), CONZIC_BENCH_K (200),
 CONZIC_BENCH_ITERS (15), CONZIC_BENCH_CLIP_LEN (24), CONZIC_BENCH_ROW_CHUNK
 (800), CONZIC_BENCH_TOKEN_BUDGET (16000, long contexts), CONZIC_BENCH_PRUNE,
-CONZIC_BENCH_QUANT, CONZIC_BENCH_ATTN, CONZIC_BENCH_PARAM_DTYPE,
-CONZIC_BENCH_KV_CHUNK, CONZIC_BENCH_SKIP_TORCH=1 to reuse/skip baseline.
+CONZIC_BENCH_PRUNE_FINAL_EXACT=1 (hybrid: full-parity final sweep),
+CONZIC_BENCH_TOPK_MODE=approx + CONZIC_BENCH_TOPK_RECALL (pruned-tier
+approx stage-1 top-k), CONZIC_BENCH_QUANT, CONZIC_BENCH_ATTN,
+CONZIC_BENCH_PARAM_DTYPE, CONZIC_BENCH_KV_CHUNK,
+CONZIC_BENCH_SKIP_TORCH=1 to reuse/skip baseline.
 """
 
 import json
@@ -232,17 +235,27 @@ def check_prune_quality():
         return
     with open(path) as f:
         matrix = json.load(f)
-    if not any(k.endswith(f"/prune{PRUNE}") for k in matrix.get("cells", {})):
-        print(f"WARNING: PRUNING_MATRIX.json has no cell for prune_k={PRUNE} "
-              f"— this operating point's quality is unmeasured "
-              f"(tools/validate_pruning.py --matrix --merge adds it).",
+    cells = matrix.get("cells", {})
+    # the cell for THIS operating point (mode-aware: approx stage-1 cells
+    # carry a +approx<recall> suffix and are measured on-TPU)
+    suffix = f"+approx{TOPK_RECALL:g}" if TOPK_MODE == "approx" else ""
+    if PRUNE_FINAL_EXACT:  # hybrid runs gate on the hybrid's (tighter) cell
+        suffix += "+final_exact"
+    tail = f"/prune{PRUNE}{suffix}"
+    point = [v for k, v in cells.items() if k.endswith(tail)]
+    if not point:
+        print(f"WARNING: PRUNING_MATRIX.json has no cell for prune_k={PRUNE}"
+              f"{suffix} — this operating point's quality is unmeasured "
+              f"(tools/validate_pruning.py --matrix --merge / "
+              f"tools/approx_quality_cells.py adds it).",
               file=sys.stderr)
-    worst = matrix.get("worst_best_cosine_delta")
-    if worst is not None and worst > 0.01:
-        print(f"WARNING: pruning quality matrix reports worst best-cosine "
-              f"delta {worst:+.4f} (> 0.01); treat the pruned throughput "
-              f"as quality-degraded ({matrix.get('weights')}).",
-              file=sys.stderr)
+    else:
+        delta = max(c["best_cosine_delta"] for c in point)
+        if delta > 0.01:
+            print(f"WARNING: best-cosine delta at this operating point is "
+                  f"{delta:+.4f} (> 0.01); treat the pruned throughput as "
+                  f"quality-degraded ({matrix.get('weights')}).",
+                  file=sys.stderr)
 
 
 def main():
@@ -270,6 +283,8 @@ def main():
         "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}"
                   + (f" prune_k={PRUNE}" if PRUNE else "")
                   + (" final_exact" if PRUNE and PRUNE_FINAL_EXACT else "")
+                  + (f" topk=approx{TOPK_RECALL:g}"
+                     if PRUNE and TOPK_MODE == "approx" else "")
                   + (f" quant={QUANT}" if QUANT != "none" else ""),
         "value": round(ours, 4),
         "unit": "captions/sec",

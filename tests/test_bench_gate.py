@@ -1,0 +1,79 @@
+"""bench.py's pruned-tier quality gate (check_prune_quality).
+
+The gate is operating-point-aware: it looks up the PRUNING_MATRIX.json
+cell matching (prune_k, topk_mode, topk_recall) and warns when the cell
+is missing or its best-cosine delta exceeds the 0.01 bound. Pinned here
+against a synthetic matrix so the committed matrix can evolve freely.
+"""
+
+import importlib
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture()
+def bench_mod(tmp_path, monkeypatch):
+    bench = importlib.import_module("bench")
+    matrix = {
+        "weights": "synthetic",
+        "cells": {
+            "sequential/free/prune5": {
+                "caption_exact": 0.5, "token_agreement": 0.7,
+                "best_cosine_delta": 0.004, "speedup": 10.0,
+            },
+            "sequential/free/prune5+approx0.95": {
+                "caption_exact": 0.0, "token_agreement": 0.4,
+                "best_cosine_delta": 0.012, "speedup": 12.0,
+            },
+            "sequential/free/prune5+approx0.95+final_exact": {
+                "caption_exact": 0.9, "token_agreement": 0.9,
+                "best_cosine_delta": 0.0005, "speedup": 8.0,
+            },
+        },
+    }
+    with open(tmp_path / "PRUNING_MATRIX.json", "w") as f:
+        json.dump(matrix, f)
+    # point the gate at the synthetic matrix (the gate resolves the path
+    # relative to bench.__file__)
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    return bench
+
+
+def _gate_stderr(bench, capsys, *, prune, mode="exact", recall=0.95,
+                 final_exact=False):
+    for name, val in (("PRUNE", prune), ("TOPK_MODE", mode),
+                      ("TOPK_RECALL", recall),
+                      ("PRUNE_FINAL_EXACT", final_exact)):
+        setattr(bench, name, val)
+    bench.check_prune_quality()
+    return capsys.readouterr().err
+
+
+def test_exact_cell_under_gate_is_silent(bench_mod, capsys):
+    assert _gate_stderr(bench_mod, capsys, prune=5) == ""
+
+
+def test_approx_cell_over_gate_warns(bench_mod, capsys):
+    err = _gate_stderr(bench_mod, capsys, prune=5, mode="approx")
+    assert "+0.0120" in err and "quality-degraded" in err
+
+
+def test_hybrid_gates_on_its_tighter_final_exact_cell(bench_mod, capsys):
+    # approx alone is over the gate; approx+final_exact is under it — the
+    # hybrid run must gate on the hybrid cell, not the pure-pruned one
+    err = _gate_stderr(bench_mod, capsys, prune=5, mode="approx",
+                       final_exact=True)
+    assert err == ""
+
+
+def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
+    err = _gate_stderr(bench_mod, capsys, prune=7, mode="approx", recall=0.9)
+    assert "no cell" in err and "prune_k=7+approx0.9" in err
+    # a different recall must NOT match the 0.95 approx cell
+    err = _gate_stderr(bench_mod, capsys, prune=5, mode="approx", recall=0.9)
+    assert "no cell" in err and "prune_k=5+approx0.9" in err

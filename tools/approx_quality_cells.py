@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Merge on-TPU quality cells for ``--topk_mode approx`` into
+PRUNING_MATRIX.json.
+
+approx_max_k only actually drops candidates on TPU backends (on CPU it
+lowers to an exact sort), so unlike every other matrix cell these MUST be
+measured on the device — a CPU run would reproduce the exact-top-k cells
+and say nothing about the approximation. This driver runs the headline
+(sequential, free) cells at the matrix's standard config (n_images=4,
+len=10, iters=10, k=200, clip_len=24) and merges them under
+``+approx<recall>`` keys.
+
+Usage (serialize with any other TPU user):
+  PYTHONPATH=/root/.axon_site:$PYTHONPATH JAX_PLATFORMS=axon \
+    python tools/approx_quality_cells.py --prune_k 5 10 --recall 0.95
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from validate_pruning import MATRIX_PATH, run_cell  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prune_k", type=int, nargs="+", default=[5, 10])
+    p.add_argument("--recall", type=float, default=0.95)
+    p.add_argument("--final_exact", action="store_true",
+                   help="hybrid schedule: pruned sweeps + full-parity "
+                        "final sweep (keys gain a +final_exact suffix)")
+    p.add_argument("--out", default=MATRIX_PATH)
+    p.add_argument("--cpu", action="store_true",
+                   help="CPU run (vacuous for approx — smoke-testing only)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from conzic_tpu.api.demo import build_captioner
+    from conzic_tpu.config import ConzicConfig
+
+    cfg = ConzicConfig()
+    cfg.clip_len = 24  # the matrix's standard config
+    cfg.verbose = False
+    cfg.topk_recall = args.recall
+    cap = build_captioner(
+        cfg, random_models="tiny" if args.cpu else "full"
+    )
+    cap.cfg.verbose = False
+
+    rng = np.random.RandomState(0)  # same embeddings as the matrix runs
+    embeds = jnp.asarray(
+        rng.randn(4, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            matrix = json.load(f)
+    else:
+        matrix = {"cells": {}}
+    for pk in args.prune_k:
+        cell = run_cell(cap, embeds, order="sequential", ctl=None,
+                        prune_k=pk, sentence_len=10, iters=10, k=200,
+                        topk_mode="approx", final_exact=args.final_exact)
+        key = f"sequential/free/prune{pk}+approx{args.recall:g}"
+        if args.final_exact:
+            key += "+final_exact"
+        if args.cpu:
+            key += "+CPU-SMOKE"
+        print(key, json.dumps(cell))
+        matrix["cells"][key] = cell
+    matrix["worst_best_cosine_delta"] = max(
+        c["best_cosine_delta"] for c in matrix["cells"].values()
+    )
+    with open(args.out, "w") as f:
+        json.dump(matrix, f, indent=1)
+    print(f"merged into {args.out}")
+
+
+if __name__ == "__main__":
+    main()
