@@ -28,6 +28,7 @@ CONZIC_BENCH_SKIP_TORCH=1 to reuse/skip baseline.
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -242,7 +243,17 @@ def check_prune_quality():
     if PRUNE_FINAL_EXACT:  # hybrid runs gate on the hybrid's (tighter) cell
         suffix += "+final_exact"
     tail = f"/prune{PRUNE}{suffix}"
-    point = [v for k, v in cells.items() if k.endswith(tail)]
+    # cells re-measured at a larger sample carry an @n<N> suffix; the
+    # largest-sample cell is the best estimator of this operating point
+    # (unsuffixed cells are the 4-image default)
+    point = {}
+    for k, v in cells.items():
+        if k.endswith(tail):
+            point[4] = v
+        else:
+            m = re.search(re.escape(tail) + r"@n(\d+)$", k)
+            if m:
+                point[int(m.group(1))] = v
     if not point:
         print(f"WARNING: PRUNING_MATRIX.json has no cell for prune_k={PRUNE}"
               f"{suffix} — this operating point's quality is unmeasured "
@@ -250,7 +261,7 @@ def check_prune_quality():
               f"tools/approx_quality_cells.py adds it).",
               file=sys.stderr)
     else:
-        delta = max(c["best_cosine_delta"] for c in point)
+        delta = point[max(point)]["best_cosine_delta"]
         if delta > 0.01:
             print(f"WARNING: best-cosine delta at this operating point is "
                   f"{delta:+.4f} (> 0.01); treat the pruned throughput as "
@@ -281,6 +292,7 @@ def main():
 
     print(json.dumps({
         "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}"
+                  + (f" clip_len={CLIP_LEN}" if CLIP_LEN != 24 else "")
                   + (f" prune_k={PRUNE}" if PRUNE else "")
                   + (" final_exact" if PRUNE and PRUNE_FINAL_EXACT else "")
                   + (f" topk=approx{TOPK_RECALL:g}"

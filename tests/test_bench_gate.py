@@ -63,6 +63,27 @@ def test_approx_cell_over_gate_warns(bench_mod, capsys):
     assert "+0.0120" in err and "quality-degraded" in err
 
 
+def test_largest_sample_cell_decides(bench_mod, capsys):
+    # an @n<N> re-measure supersedes the noisier 4-image default cell:
+    # over-gate at @n16 warns even though the base cell is under...
+    cells = {
+        "sequential/free/prune5": {"best_cosine_delta": 0.004},
+        "sequential/free/prune5@n16": {"best_cosine_delta": 0.02},
+    }
+    path = os.path.join(os.path.dirname(bench_mod.__file__),
+                        "PRUNING_MATRIX.json")
+    with open(path, "w") as f:
+        json.dump({"weights": "synthetic", "cells": cells}, f)
+    err = _gate_stderr(bench_mod, capsys, prune=5)
+    assert "+0.0200" in err and "quality-degraded" in err
+    # ...and an under-gate @n16 silences an over-gate base cell
+    cells["sequential/free/prune5"]["best_cosine_delta"] = 0.02
+    cells["sequential/free/prune5@n16"]["best_cosine_delta"] = 0.004
+    with open(path, "w") as f:
+        json.dump({"weights": "synthetic", "cells": cells}, f)
+    assert _gate_stderr(bench_mod, capsys, prune=5) == ""
+
+
 def test_hybrid_gates_on_its_tighter_final_exact_cell(bench_mod, capsys):
     # approx alone is over the gate; approx+final_exact is under it — the
     # hybrid run must gate on the hybrid cell, not the pure-pruned one

@@ -1,18 +1,23 @@
 #!/usr/bin/env python
-"""Merge on-TPU quality cells for ``--topk_mode approx`` into
-PRUNING_MATRIX.json.
+"""Merge single (sequential, free) quality cells into PRUNING_MATRIX.json.
 
-approx_max_k only actually drops candidates on TPU backends (on CPU it
-lowers to an exact sort), so unlike every other matrix cell these MUST be
-measured on the device — a CPU run would reproduce the exact-top-k cells
-and say nothing about the approximation. This driver runs the headline
-(sequential, free) cells at the matrix's standard config (n_images=4,
-len=10, iters=10, k=200, clip_len=24) and merges them under
-``+approx<recall>`` keys.
+Originally the on-TPU driver for ``--topk_mode approx`` cells (approx_max_k
+only actually drops candidates on TPU backends — on CPU it lowers to an
+exact sort, so a CPU run would reproduce the exact-top-k cells and say
+nothing about the approximation). Now the general merge driver for any
+(prune_k, topk_mode, final_exact, n_images) headline-family cell:
+
+- keys: ``sequential/free/prune<k>[+approx<recall>][+final_exact][@n<N>]``
+  (the ``@n<N>`` suffix marks a non-default sample size; bench.py's
+  quality gate matches both the base and ``@n``-suffixed keys).
+- the matrix's standard config otherwise (len=10, iters=10, k=200,
+  clip_len=24, seed-0 embeddings).
 
 Usage (serialize with any other TPU user):
   PYTHONPATH=/root/.axon_site:$PYTHONPATH JAX_PLATFORMS=axon \
     python tools/approx_quality_cells.py --prune_k 5 10 --recall 0.95
+  # 16-image re-measure of the hybrid cell:
+  ... --prune_k 5 --final_exact --n_images 16
 """
 
 import argparse
@@ -29,10 +34,14 @@ from validate_pruning import MATRIX_PATH, run_cell  # noqa: E402
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--prune_k", type=int, nargs="+", default=[5, 10])
+    p.add_argument("--topk_mode", default="approx",
+                   choices=["approx", "exact"])
     p.add_argument("--recall", type=float, default=0.95)
     p.add_argument("--final_exact", action="store_true",
                    help="hybrid schedule: pruned sweeps + full-parity "
                         "final sweep (keys gain a +final_exact suffix)")
+    p.add_argument("--n_images", type=int, default=4,
+                   help="sample size; non-default adds an @n<N> key suffix")
     p.add_argument("--out", default=MATRIX_PATH)
     p.add_argument("--cpu", action="store_true",
                    help="CPU run (vacuous for approx — smoke-testing only)")
@@ -58,7 +67,8 @@ def main():
 
     rng = np.random.RandomState(0)  # same embeddings as the matrix runs
     embeds = jnp.asarray(
-        rng.randn(4, cap.clip_model.config.projection_dim).astype(np.float32)
+        rng.randn(args.n_images,
+                  cap.clip_model.config.projection_dim).astype(np.float32)
     )
     if os.path.exists(args.out):
         with open(args.out) as f:
@@ -68,10 +78,15 @@ def main():
     for pk in args.prune_k:
         cell = run_cell(cap, embeds, order="sequential", ctl=None,
                         prune_k=pk, sentence_len=10, iters=10, k=200,
-                        topk_mode="approx", final_exact=args.final_exact)
-        key = f"sequential/free/prune{pk}+approx{args.recall:g}"
+                        topk_mode=args.topk_mode,
+                        final_exact=args.final_exact)
+        key = f"sequential/free/prune{pk}"
+        if args.topk_mode == "approx":
+            key += f"+approx{args.recall:g}"
         if args.final_exact:
             key += "+final_exact"
+        if args.n_images != 4:
+            key += f"@n{args.n_images}"
         if args.cpu:
             key += "+CPU-SMOKE"
         print(key, json.dumps(cell))

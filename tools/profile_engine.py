@@ -62,7 +62,14 @@ def main():
     p.add_argument("--iters", type=int, default=15)
     p.add_argument("--k", type=int, default=200)
     p.add_argument("--prune_k", type=int, default=None)
+    p.add_argument("--topk_mode", choices=["exact", "approx"], default="exact",
+                   help="stage-1 candidate top-k (approx requires --prune_k)")
+    p.add_argument("--topk_recall", type=float, default=0.95)
     p.add_argument("--trace_dir", default=None)
+    p.add_argument("--dump_hlo", default=None,
+                   help="write the engine program's optimized HLO text here "
+                        "(input for tools/trace_attrib.py --hlo); relies on "
+                        "the persistent compile cache to avoid a recompile")
     p.add_argument("--summarize_only", default=None,
                    help="skip running; summarize an existing trace dir")
     args = p.parse_args()
@@ -83,11 +90,31 @@ def main():
     cap = build_captioner()
     cap.cfg.verbose = False
     cap.cfg.clip_len = args.clip_len
+    if args.prune_k:  # the sampler refuses approx without prune_k
+        cap.cfg.topk_mode = args.topk_mode
+        cap.cfg.topk_recall = args.topk_recall
     image_embeds = jnp.asarray(
         np.random.RandomState(0)
         .randn(args.batch, cap.clip_model.config.projection_dim)
         .astype(np.float32)
     )
+
+    captured = {}
+    if args.dump_hlo:
+        # intercept the engine's jitted call so the SAME (fn, args) pair
+        # can be lowered to optimized-HLO text after the run
+        orig_compiled = cap._compiled
+
+        def capturing_compiled(spec):
+            fn = orig_compiled(spec)
+
+            def call(*a, **k):
+                captured["fn"], captured["a"], captured["k"] = fn, a, k
+                return fn(*a, **k)
+
+            return call
+
+        cap._compiled = capturing_compiled
 
     def run():
         return cap.run(
@@ -105,6 +132,18 @@ def main():
     run()
     jax.profiler.stop_trace()
     print(f"traced run {time.time() - t0:.2f}s -> {trace_dir}")
+    if args.dump_hlo and captured:
+        t0 = time.time()
+        txt = (
+            captured["fn"]
+            .lower(*captured["a"], **captured["k"])
+            .compile()
+            .as_text()
+        )
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"optimized HLO ({len(txt)} bytes) -> {args.dump_hlo} "
+              f"in {time.time() - t0:.1f}s")
     summarize(trace_dir)
 
 
