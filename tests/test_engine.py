@@ -661,6 +661,36 @@ def test_exact_topk_2stage_identical_to_full_topk():
     np.testing.assert_array_equal(np.asarray(c_i), np.asarray(d_i))
 
 
+def test_topk_candidates_approx_mode_contract():
+    """``mode="approx"`` (the pruned-tier stage-1 lever): on CPU backends
+    approx_max_k lowers to an exact sort (recall 1.0), so with distinct
+    values it must return the exact top-k and apply the same reference
+    masked-id collapse (``idxs * mask[idxs]``, gen_utils.py:72) as the
+    exact path. This pins the CONTRACT (shape, dtype, mask semantics);
+    the TPU recall behavior is quality-gated via PRUNING_MATRIX.json."""
+    rng = np.random.RandomState(1)
+    V, B, k = 4096, 3, 50
+    p = rng.rand(B, V).astype(np.float32)  # distinct with prob 1
+    p[0, 10:] = 0.0  # row 0: fewer positives than k -> zero-tie regime
+    mask = np.ones(V, dtype=np.float32)
+    mask[::7] = 0.0
+    masked = p * mask
+    e_v, e_i = energies.topk_candidates(jnp.asarray(masked),
+                                        jnp.asarray(mask), k)
+    a_v, a_i = energies.topk_candidates(jnp.asarray(masked),
+                                        jnp.asarray(mask), k,
+                                        mode="approx", recall=0.95)
+    # distinct-value rows: bitwise identical to the exact path (tie order
+    # in the zero band of row 0 is implementation-defined across sorts)
+    np.testing.assert_array_equal(np.asarray(e_v)[1:], np.asarray(a_v)[1:])
+    np.testing.assert_array_equal(np.asarray(e_i)[1:], np.asarray(a_i)[1:])
+    assert a_i.dtype == jnp.int32
+    # the reference's masked-id collapse holds in BOTH modes, including
+    # the zero-tie row: banned picks collapse to 0 ([PAD]), allowed stay
+    for ids in (np.asarray(e_i), np.asarray(a_i)):
+        assert np.all((mask[ids] == 1.0) | (ids == 0))
+
+
 def test_generate_step_modes():
     """generate_step (engine/primitives.py) reproduces the reference's
     three modes (gen_utils.py:10-31): greedy argmax, top-k categorical

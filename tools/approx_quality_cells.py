@@ -42,6 +42,8 @@ def main():
                         "final sweep (keys gain a +final_exact suffix)")
     p.add_argument("--n_images", type=int, default=4,
                    help="sample size; non-default adds an @n<N> key suffix")
+    p.add_argument("--ctl", choices=["sentiment", "pos"], default=None,
+                   help="controlled-generation cell (key path segment)")
     p.add_argument("--out", default=MATRIX_PATH)
     p.add_argument("--cpu", action="store_true",
                    help="CPU run (vacuous for approx — smoke-testing only)")
@@ -76,11 +78,11 @@ def main():
     else:
         matrix = {"cells": {}}
     for pk in args.prune_k:
-        cell = run_cell(cap, embeds, order="sequential", ctl=None,
+        cell = run_cell(cap, embeds, order="sequential", ctl=args.ctl,
                         prune_k=pk, sentence_len=10, iters=10, k=200,
                         topk_mode=args.topk_mode,
                         final_exact=args.final_exact)
-        key = f"sequential/free/prune{pk}"
+        key = f"sequential/{args.ctl or 'free'}/prune{pk}"
         if args.topk_mode == "approx":
             key += f"+approx{args.recall:g}"
         if args.final_exact:
