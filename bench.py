@@ -245,15 +245,34 @@ def check_prune_quality():
     tail = f"/prune{PRUNE}{suffix}"
     # cells re-measured at a larger sample carry an @n<N> suffix; the
     # largest-sample cell is the best estimator of this operating point
-    # (unsuffixed cells are the 4-image default)
-    point = {}
-    for k, v in cells.items():
-        if k.endswith(tail):
-            point[4] = v
-        else:
-            m = re.search(re.escape(tail) + r"@n(\d+)$", k)
-            if m:
-                point[int(m.group(1))] = v
+    # (unsuffixed cells are the 4-image default). Long-context cells
+    # carry a trailing @len<N>; prefer the matching-length cell when
+    # benching a non-default CLIP_LEN, falling back to the standard
+    # clip_len=24 cells (the borrow is announced).
+    def scan(lentail):
+        point = {}
+        for k, v in cells.items():
+            if lentail:
+                if not k.endswith(lentail):
+                    continue
+                k = k[: -len(lentail)]
+            elif "@len" in k:
+                continue
+            if k.endswith(tail):
+                point[4] = v
+            else:
+                m = re.search(re.escape(tail) + r"@n(\d+)$", k)
+                if m:
+                    point[int(m.group(1))] = v
+        return point
+
+    point = scan(f"@len{CLIP_LEN}" if CLIP_LEN != 24 else "")
+    if not point and CLIP_LEN != 24:
+        point = scan("")
+        if point:
+            print(f"NOTE: no clip_len={CLIP_LEN} quality cell — gating on "
+                  f"the clip_len=24 cells for this prune/mode point.",
+                  file=sys.stderr)
     if not point:
         print(f"WARNING: PRUNING_MATRIX.json has no cell for prune_k={PRUNE}"
               f"{suffix} — this operating point's quality is unmeasured "

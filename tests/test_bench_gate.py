@@ -92,6 +92,39 @@ def test_hybrid_gates_on_its_tighter_final_exact_cell(bench_mod, capsys):
     assert err == ""
 
 
+def test_long_context_prefers_len_cell_and_borrow_is_announced(
+        bench_mod, capsys):
+    # a clip_len=77 bench gates on the @len77 cell when one exists...
+    cells = {
+        "sequential/free/prune5": {"best_cosine_delta": 0.004},
+        "sequential/free/prune5@n8@len77": {"best_cosine_delta": 0.02},
+    }
+    path = os.path.join(os.path.dirname(bench_mod.__file__),
+                        "PRUNING_MATRIX.json")
+    with open(path, "w") as f:
+        json.dump({"weights": "synthetic", "cells": cells}, f)
+    bench_mod.CLIP_LEN = 77
+    try:
+        err = _gate_stderr(bench_mod, capsys, prune=5)
+        assert "+0.0200" in err and "quality-degraded" in err
+        # ...and borrows the clip_len=24 cells (with a note) when none does
+        del cells["sequential/free/prune5@n8@len77"]
+        with open(path, "w") as f:
+            json.dump({"weights": "synthetic", "cells": cells}, f)
+        err = _gate_stderr(bench_mod, capsys, prune=5)
+        assert "no clip_len=77 quality cell" in err
+        assert "quality-degraded" not in err  # the 24-len cell is under
+        # a default-length bench never matches @len cells
+        bench_mod.CLIP_LEN = 24
+        cells["sequential/free/prune5@n16@len77"] = {
+            "best_cosine_delta": 0.02}
+        with open(path, "w") as f:
+            json.dump({"weights": "synthetic", "cells": cells}, f)
+        assert _gate_stderr(bench_mod, capsys, prune=5) == ""
+    finally:
+        bench_mod.CLIP_LEN = 24
+
+
 def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
     err = _gate_stderr(bench_mod, capsys, prune=7, mode="approx", recall=0.9)
     assert "no cell" in err and "prune_k=7+approx0.9" in err

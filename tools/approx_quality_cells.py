@@ -7,9 +7,11 @@ exact sort, so a CPU run would reproduce the exact-top-k cells and say
 nothing about the approximation). Now the general merge driver for any
 (prune_k, topk_mode, final_exact, n_images) headline-family cell:
 
-- keys: ``sequential/free/prune<k>[+approx<recall>][+final_exact][@n<N>]``
-  (the ``@n<N>`` suffix marks a non-default sample size; bench.py's
-  quality gate matches both the base and ``@n``-suffixed keys).
+- keys: ``sequential/<ctl|free>/prune<k>[+approx<recall>][+final_exact]
+  [@n<N>][@len<L>][@s<seed>]`` (``@n<N>`` marks a non-default sample
+  size — bench.py's gate matches base and ``@n`` keys and prefers
+  ``@len`` cells when benching that clip_len; ``@s<seed>`` replication
+  cells are informational and never gate).
 - the matrix's standard config otherwise (len=10, iters=10, k=200,
   clip_len=24, seed-0 embeddings).
 
@@ -44,6 +46,12 @@ def main():
                    help="sample size; non-default adds an @n<N> key suffix")
     p.add_argument("--ctl", choices=["sentiment", "pos"], default=None,
                    help="controlled-generation cell (key path segment)")
+    p.add_argument("--clip_len", type=int, default=24,
+                   help="CLIP context length; non-default adds an "
+                        "@len<N> key suffix (long-context cells)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="image-embedding seed; non-default adds an "
+                        "@s<seed> key suffix (replication cells)")
     p.add_argument("--out", default=MATRIX_PATH)
     p.add_argument("--cpu", action="store_true",
                    help="CPU run (vacuous for approx — smoke-testing only)")
@@ -59,7 +67,7 @@ def main():
     from conzic_tpu.config import ConzicConfig
 
     cfg = ConzicConfig()
-    cfg.clip_len = 24  # the matrix's standard config
+    cfg.clip_len = args.clip_len  # 24 = the matrix's standard config
     cfg.verbose = False
     cfg.topk_recall = args.recall
     cap = build_captioner(
@@ -67,7 +75,7 @@ def main():
     )
     cap.cfg.verbose = False
 
-    rng = np.random.RandomState(0)  # same embeddings as the matrix runs
+    rng = np.random.RandomState(args.seed)  # 0 = the matrix's embeddings
     embeds = jnp.asarray(
         rng.randn(args.n_images,
                   cap.clip_model.config.projection_dim).astype(np.float32)
@@ -89,6 +97,10 @@ def main():
             key += "+final_exact"
         if args.n_images != 4:
             key += f"@n{args.n_images}"
+        if args.clip_len != 24:
+            key += f"@len{args.clip_len}"
+        if args.seed != 0:
+            key += f"@s{args.seed}"
         if args.cpu:
             key += "+CPU-SMOKE"
         print(key, json.dumps(cell))
