@@ -80,9 +80,9 @@ def build_captioner():
         jax.config.update("jax_platforms", "cpu")
     # persistent XLA compilation cache: first round pays the ~4 min compile,
     # later bench runs start in seconds
-    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from conzic_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from conzic_tpu.config import ConzicConfig
 

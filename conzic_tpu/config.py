@@ -225,6 +225,13 @@ def config_from_args(args: argparse.Namespace) -> ConzicConfig:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # persistent XLA compilation cache for every CLI: full-size engine
+    # programs cold-compile in ~4-6 min on the axon remote compiler;
+    # with the cache a repeat invocation with the same shapes starts in
+    # seconds (runtime/cache.py; $CONZIC_JAX_CACHE overrides the dir)
+    from conzic_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = ConzicConfig()
     for f in dataclasses.fields(ConzicConfig):
         if hasattr(args, f.name):

@@ -61,6 +61,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from conzic_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # cell programs are bench-sized: ~5 min cold
     import jax.numpy as jnp
 
     from conzic_tpu.api.demo import build_captioner

@@ -104,6 +104,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from conzic_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # full-size programs: ~5 min cold compile
     import jax.numpy as jnp
 
     from conzic_tpu.api.demo import build_captioner
