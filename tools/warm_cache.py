@@ -53,16 +53,29 @@ def main():
         print(f"warmed {order} B={B} k={k} iters={iters} ctl={ctl}: "
               f"{time.time() - t0:.0f}s", flush=True)
     if not args.quick:
-        # speed-tier + long-context operating points (BASELINE.md r3)
-        for pk, fe, B in ((5, False, 128), (5, True, 128)):
+        # speed-tier + long-context operating points (BASELINE.md r3;
+        # (prune_k, final_exact, B, topk_mode, recall) — the published
+        # ladder: prune3+approx0.9 fastest under-gate, prune3 hybrid,
+        # plus the exact-stage-1 prune5 pair)
+        tiers = [
+            (5, False, 128, "exact", 0.95),
+            (5, True, 128, "exact", 0.95),
+            (3, False, 256, "approx", 0.90),
+            (3, True, 256, "approx", 0.90),
+        ]
+        for pk, fe, B, mode, recall in tiers:
             emb = jnp.asarray(np.zeros((B, D), np.float32))
+            cap.cfg.topk_mode = mode
+            cap.cfg.topk_recall = recall
             t0 = time.time()
             cap.run(emb, prompt="Image of a", max_len=10, top_k=200,
                     temperature=0.1, max_iter=15, alpha=0.02, beta=2.0,
                     order="sequential", prune_k=pk, prune_final_exact=fe,
                     rng=np.random.RandomState(0))
-            print(f"warmed prune{pk}{'+final_exact' if fe else ''} B={B}: "
-                  f"{time.time() - t0:.0f}s", flush=True)
+            print(f"warmed prune{pk}{'+final_exact' if fe else ''}"
+                  f"{'+approx' + str(recall) if mode == 'approx' else ''}"
+                  f" B={B}: {time.time() - t0:.0f}s", flush=True)
+        cap.cfg.topk_mode = "exact"
         cap.cfg.clip_len = 77  # auto-pads to 80 (clip_pad_to=-1)
         emb = jnp.asarray(np.zeros((8, D), np.float32))
         t0 = time.time()
