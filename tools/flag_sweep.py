@@ -68,6 +68,23 @@ CONFIGS = {
         "xla_tpu_enable_dot_strength_reduction=false,"
         "xla_tpu_async_copy_bandwidth_scaling_factor=2.0"
     ),
+    # phase 4 (pruned tier): the adopted full-tier winner (= the config
+    # default, named so the pruned operating point gets an explicit row)
+    # and copy-oriented variants — the prune3/B=512 trace shows copies at
+    # 13.4% of device time, a regime the B=32 full-tier sweep never saw
+    "winner": (
+        "xla_tpu_scoped_vmem_limit_kib=32768,"
+        "xla_tpu_enable_dot_strength_reduction=false"
+    ),
+    "winner_lhs": (
+        "xla_tpu_scoped_vmem_limit_kib=32768,"
+        "xla_tpu_enable_dot_strength_reduction=false,"
+        "xla_tpu_enable_latency_hiding_scheduler=true"
+    ),
+    "vmem64_no_dsr": (
+        "xla_tpu_scoped_vmem_limit_kib=65536,"
+        "xla_tpu_enable_dot_strength_reduction=false"
+    ),
 }
 
 
@@ -85,7 +102,21 @@ def main():
     ap.add_argument("--timeout", type=int, default=2400)
     ap.add_argument("--rerun", action="store_true",
                     help="re-measure configs already in the output file")
+    # pruned-tier operating point: sweep the same option sets on the
+    # quality-bounded tier (results keyed with an @prune… suffix so the
+    # full-tier rows are untouched)
+    ap.add_argument("--prune", type=int, default=0)
+    ap.add_argument("--topk_mode", choices=["exact", "approx"],
+                    default="exact")
+    ap.add_argument("--recall", type=float, default=0.95)
     args = ap.parse_args()
+
+    suffix = ""
+    if args.prune:
+        suffix = f"@prune{args.prune}"
+        if args.topk_mode == "approx":
+            suffix += f"+approx{args.recall:g}"
+        suffix += f"b{args.batch}"
 
     names = (
         [n.strip() for n in args.only.split(",") if n.strip()]
@@ -99,13 +130,14 @@ def main():
         if name not in CONFIGS:
             print(f"unknown config {name!r}; have {sorted(CONFIGS)}")
             continue
-        cached = results["configs"].get(name)
+        key = name + suffix
+        cached = results["configs"].get(key)
         if not args.rerun and cached and \
                 cached.get("caps_per_s") is not None and \
                 cached.get("batch", results.get("batch")) == args.batch:
             # a cached number measured at a DIFFERENT batch is a
             # different operating point: re-measure instead of reusing
-            print(f"[{name}] cached: {cached}")
+            print(f"[{key}] cached: {cached}")
             continue
         env = dict(os.environ)
         env["PYTHONPATH"] = "/root/.axon_site:" + env.get("PYTHONPATH", "")
@@ -113,8 +145,12 @@ def main():
         env["CONZIC_BENCH_SKIP_TORCH"] = "1"
         env["CONZIC_BENCH_BATCH"] = str(args.batch)
         env["CONZIC_BENCH_XLA_OPTIONS"] = CONFIGS[name]
+        if args.prune:
+            env["CONZIC_BENCH_PRUNE"] = str(args.prune)
+            env["CONZIC_BENCH_TOPK_MODE"] = args.topk_mode
+            env["CONZIC_BENCH_TOPK_RECALL"] = str(args.recall)
         t0 = time.time()
-        print(f"[{name}] options={CONFIGS[name]!r} ...", flush=True)
+        print(f"[{key}] options={CONFIGS[name]!r} ...", flush=True)
         try:
             p = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py")],
@@ -127,30 +163,30 @@ def main():
             ]
             if p.returncode == 0 and line:
                 val = json.loads(line[-1])["value"]
-                results["configs"][name] = {
+                results["configs"][key] = {
                     "options": CONFIGS[name],
                     "caps_per_s": val,
                     "batch": args.batch,
                     "wall_s": round(time.time() - t0, 1),
                 }
-                print(f"[{name}] {val} caps/s "
+                print(f"[{key}] {val} caps/s "
                       f"({time.time() - t0:.0f}s)", flush=True)
             else:
                 tail = (p.stderr or p.stdout or "")[-400:]
-                results["configs"][name] = {
+                results["configs"][key] = {
                     "options": CONFIGS[name],
                     "caps_per_s": None,
                     "error": tail,
                 }
-                print(f"[{name}] FAILED rc={p.returncode}: {tail[-200:]}",
+                print(f"[{key}] FAILED rc={p.returncode}: {tail[-200:]}",
                       flush=True)
         except subprocess.TimeoutExpired:
-            results["configs"][name] = {
+            results["configs"][key] = {
                 "options": CONFIGS[name],
                 "caps_per_s": None,
                 "error": f"timeout {args.timeout}s",
             }
-            print(f"[{name}] TIMEOUT", flush=True)
+            print(f"[{key}] TIMEOUT", flush=True)
         with open(OUT, "w") as f:
             json.dump(results, f, indent=1)
 
