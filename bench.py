@@ -242,7 +242,11 @@ def check_prune_quality():
     suffix = f"+approx{TOPK_RECALL:g}" if TOPK_MODE == "approx" else ""
     if PRUNE_FINAL_EXACT:  # hybrid runs gate on the hybrid's (tighter) cell
         suffix += "+final_exact"
-    tail = f"/prune{PRUNE}{suffix}"
+    # anchored to the bench's own operating point (free sequential
+    # generation) — an endswith-only match would let shuffle/ctl cells
+    # for the same prune/mode point gate (and the last-inserted would
+    # silently win over the free cell)
+    head = f"sequential/free/prune{PRUNE}{suffix}"
     # cells re-measured at a larger sample carry an @n<N> suffix; the
     # largest-sample cell is the best estimator of this operating point
     # (unsuffixed cells are the 4-image default). Long-context cells
@@ -258,10 +262,10 @@ def check_prune_quality():
                 k = k[: -len(lentail)]
             elif "@len" in k:
                 continue
-            if k.endswith(tail):
+            if k == head:
                 point[4] = v
             else:
-                m = re.search(re.escape(tail) + r"@n(\d+)$", k)
+                m = re.fullmatch(re.escape(head) + r"@n(\d+)", k)
                 if m:
                     point[int(m.group(1))] = v
         return point

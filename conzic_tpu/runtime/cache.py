@@ -27,9 +27,16 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
     import jax
 
     cache_dir = cache_dir or os.environ.get("CONZIC_JAX_CACHE", _DEFAULT_DIR)
-    parent = os.path.dirname(cache_dir) or "."
-    if not (os.path.isdir(cache_dir) and os.access(cache_dir, os.W_OK)) and \
-            not os.access(parent, os.W_OK):
+    # usable = an existing writable directory, or a creatable path (no
+    # entry yet, writable parent). An existing-but-unwritable dir (or a
+    # non-dir entry) must fall back even when the parent IS writable —
+    # otherwise cache writes silently fail and every run pays the full
+    # remote compile.
+    if os.path.exists(cache_dir):
+        usable = os.path.isdir(cache_dir) and os.access(cache_dir, os.W_OK)
+    else:
+        usable = os.access(os.path.dirname(cache_dir) or ".", os.W_OK)
+    if not usable:
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "conzic_tpu", "jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)

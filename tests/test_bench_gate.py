@@ -125,6 +125,29 @@ def test_long_context_prefers_len_cell_and_borrow_is_announced(
         bench_mod.CLIP_LEN = 24
 
 
+def test_gate_is_anchored_to_free_sequential(bench_mod, capsys):
+    # cells for OTHER orders / control energies share the prune/mode tail;
+    # the bench runs free sequential generation and must gate only on that
+    # cell — an over-gate pos (or shuffle) cell may not flag the free
+    # number, and a missing free cell may not borrow a ctl one
+    cells = {
+        "sequential/free/prune5": {"best_cosine_delta": 0.004},
+        "sequential/pos/prune5": {"best_cosine_delta": 0.03},
+        "shuffle/free/prune5": {"best_cosine_delta": 0.03},
+        "sequential/pos/prune5@n16": {"best_cosine_delta": 0.03},
+    }
+    path = os.path.join(os.path.dirname(bench_mod.__file__),
+                        "PRUNING_MATRIX.json")
+    with open(path, "w") as f:
+        json.dump({"weights": "synthetic", "cells": cells}, f)
+    assert _gate_stderr(bench_mod, capsys, prune=5) == ""
+    del cells["sequential/free/prune5"]
+    with open(path, "w") as f:
+        json.dump({"weights": "synthetic", "cells": cells}, f)
+    err = _gate_stderr(bench_mod, capsys, prune=5)
+    assert "no cell" in err  # ctl/shuffle cells must not stand in
+
+
 def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
     err = _gate_stderr(bench_mod, capsys, prune=7, mode="approx", recall=0.9)
     assert "no cell" in err and "prune_k=7+approx0.9" in err

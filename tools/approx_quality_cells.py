@@ -61,6 +61,12 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.out == MATRIX_PATH:
+            # tiny-random-model smoke cells must never land in (or fold
+            # into the worst_... of) the committed quality artifact
+            args.out = MATRIX_PATH + ".cpu-smoke.json"
+            print(f"--cpu smoke run: writing to {args.out} instead of "
+                  f"the committed matrix (pass --out to override)")
     from conzic_tpu.runtime.cache import enable_persistent_cache
 
     enable_persistent_cache()  # cell programs are bench-sized: ~5 min cold

@@ -71,7 +71,10 @@ CONFIGS = {
     # phase 4 (pruned tier): the adopted full-tier winner (= the config
     # default, named so the pruned operating point gets an explicit row)
     # and copy-oriented variants — the prune3/B=512 trace shows copies at
-    # 13.4% of device time, a regime the B=32 full-tier sweep never saw
+    # 13.4% of device time, a regime the B=32 full-tier sweep never saw.
+    # "winner" is an ALIAS of vmem32_no_dsr (same option string); the
+    # default no---only sweep dedupes by option value so the alias never
+    # re-measures the same set.
     "winner": (
         "xla_tpu_scoped_vmem_limit_kib=32768,"
         "xla_tpu_enable_dot_strength_reduction=false"
@@ -118,11 +121,14 @@ def main():
             suffix += f"+approx{args.recall:g}"
         suffix += f"b{args.batch}"
 
-    names = (
-        [n.strip() for n in args.only.split(",") if n.strip()]
-        if args.only
-        else list(CONFIGS)
-    )
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+    else:
+        # dedupe aliases (identical option strings) so a full sweep
+        # measures each option set once; first-named entry wins
+        seen_opts = set()
+        names = [n for n in CONFIGS
+                 if not (CONFIGS[n] in seen_opts or seen_opts.add(CONFIGS[n]))]
     results = load()
     results["batch"] = args.batch
 

@@ -160,17 +160,21 @@ def main():
     suffix = (
         f"+approx{args.topk_recall:g}" if args.topk_mode == "approx" else ""
     )
+    # suffix order is the matrix-wide convention: prune<k>[+approx<r>]
+    # [+final_exact] (approx_quality_cells.py and bench.py's gate both
+    # build/match this order — +final_exact+approx would produce keys
+    # the gate never finds and --merge re-runs)
     if args.merge:
         jobs = [
             (o, c, pk, fe) for o, c, pk, fe in jobs
-            if f"{o}/{c or 'free'}/prune{pk}"
-               f"{'+final_exact' if fe else ''}{suffix}"
+            if f"{o}/{c or 'free'}/prune{pk}{suffix}"
+               f"{'+final_exact' if fe else ''}"
             not in cells
         ]
     for order, ctl, pk, fe in jobs:
-        key = f"{order}/{ctl or 'free'}/prune{pk}" + (
+        key = f"{order}/{ctl or 'free'}/prune{pk}" + suffix + (
             "+final_exact" if fe else ""
-        ) + suffix
+        )
         print(f"--- {key}", flush=True)
         cell = run_cell(cap, embeds, order=order, ctl=ctl, prune_k=pk,
                         final_exact=fe, **common)
