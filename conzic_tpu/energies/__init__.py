@@ -113,6 +113,42 @@ def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
     return top_probs, idxs
 
 
+def prune_proxy_scores(
+    word_embeds: jax.Array,
+    base_ids: jax.Array,
+    col: jax.Array,
+    cand_ids: jax.Array,
+    image_embeds: jax.Array,
+    seq_len: int,
+) -> jax.Array:
+    """Stage-1 pruning proxy: cos(image, normalize(bag(base words minus the
+    edited slot) + w[cand])).
+
+    The bag sums the per-word CLIP embeddings of the base row's inner
+    tokens, then removes the edited slot's current word: in parallel order
+    ``base_ids`` is the UNMASKED iteration-start row, so without the
+    subtraction the proxy would score "old sentence + new word" while
+    stage 2 scores rows with the old word replaced. For the masked orders
+    the slot holds [MASK] whose table embedding is exact 0 (specials are
+    zeroed in the table), so the subtraction is a byte-level no-op there.
+
+    word_embeds: (V, D) per-vocab-word CLIP embeddings, specials exact 0.
+    base_ids: (B, S); col: (B,) edited column; cand_ids: (B, K);
+    image_embeds: (B, D). Returns (B, K) proxy cosines.
+    """
+    base_bag = jnp.sum(word_embeds[base_ids[:, 1 : seq_len - 1]], axis=1)
+    old_at_slot = jnp.take_along_axis(base_ids, col[:, None], axis=1)
+    base_bag = base_bag - word_embeds[old_at_slot[:, 0]]
+    cand_vec = base_bag[:, None, :] + word_embeds[cand_ids]  # (B, K, D)
+    cand_vec = cand_vec / (
+        jnp.linalg.norm(cand_vec, axis=-1, keepdims=True) + 1e-6
+    )
+    img = image_embeds / jnp.linalg.norm(
+        image_embeds, axis=-1, keepdims=True
+    )
+    return jnp.einsum("bkd,bd->bk", cand_vec, img.astype(cand_vec.dtype))
+
+
 def repeat_penalty(cand_ids: jax.Array, cand_rows: jax.Array) -> jax.Array:
     """``0.1 * (1 - exp(repeats))`` where repeats counts how often the
     candidate id already occurs in its (candidate-substituted) full row,

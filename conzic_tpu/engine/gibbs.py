@@ -251,19 +251,12 @@ def _position_update(
     )
 
     if spec.prune_k is not None and spec.prune_k < k:
-        # stage-1 proxy: cos(image, normalize(bag(base words) + w[cand]))
-        word_embeds = tables["word_embeds"]  # (V, D) fp32, specials ~0
-        base_bag = jnp.sum(
-            word_embeds[base_ids[:, 1 : spec.seq_len - 1]], axis=1
-        )  # (B, D); the masked slot contributes ~0
-        cand_vec = base_bag[:, None, :] + word_embeds[idxs]  # (B, k, D)
-        cand_vec = cand_vec / (
-            jnp.linalg.norm(cand_vec, axis=-1, keepdims=True) + 1e-6
+        # stage-1 proxy: cos(image, normalize(bag + w[cand])); slot-
+        # exclusion semantics pinned in energies.prune_proxy_scores
+        proxy = energies.prune_proxy_scores(
+            tables["word_embeds"], base_ids, col, idxs, image_embeds,
+            spec.seq_len,
         )
-        img = image_embeds / jnp.linalg.norm(
-            image_embeds, axis=-1, keepdims=True
-        )
-        proxy = jnp.einsum("bkd,bd->bk", cand_vec, img.astype(cand_vec.dtype))
         _, keep = jax.lax.top_k(proxy, spec.prune_k)  # (B, k')
         idxs = jnp.take_along_axis(idxs, keep, axis=1)
         top_probs = jnp.take_along_axis(top_probs, keep, axis=1)

@@ -237,7 +237,23 @@ def run_generation_host(cap, spec, image_embeds, init_ids, positions,
     Returns the same tuple as ``gibbs.run_generation``.
     """
     B = init_ids.shape[0]
-    eng = _HostEngine(cap, spec, hyper, tables, B)
+    # memoize the engine per captioner: its jitted steps bake spec, the
+    # hyper scalars, and the table arrays in as closure constants, so a
+    # fresh _HostEngine per call would re-trace (and cache-round-trip)
+    # five full-model programs on every Captioner.run — ruinous for the
+    # api/run.py batch loop on the axon backend, where this host-stepped
+    # path is the only exact mode. Key on everything the closures bake.
+    key = (
+        spec, B,
+        tuple(sorted((n, float(v)) for n, v in hyper.items())),
+        tuple(sorted((n, id(v)) for n, v in tables.items())),
+    )
+    cache = getattr(cap, "_host_engine_cache", None)
+    if cache is None:
+        cache = cap._host_engine_cache = {}
+    eng = cache.get(key)
+    if eng is None:
+        eng = cache[key] = _HostEngine(cap, spec, hyper, tables, B)
     ids = np.asarray(init_ids).copy()
     iters = positions.shape[0]
     iter_ids = np.zeros((iters, B, ids.shape[1]), np.int32)

@@ -299,12 +299,7 @@ class Captioner:
                 pixels = pixels[None]
         pixels = jnp.asarray(pixels)
         B = pixels.shape[0]
-        pad = 0
-        if self.mesh is not None:
-            n_data = dict(
-                zip(self.mesh.axis_names, self.mesh.devices.shape)
-            ).get(mesh_lib.DATA_AXIS, 1)
-            pad = (-B) % n_data
+        pad = mesh_lib.data_axis_pad(self.mesh, B)
         if pad:  # ragged batch: pad to the mesh, slice the result back
             pixels = jnp.concatenate([pixels] + [pixels[-1:]] * pad, axis=0)
         pixels = mesh_lib.shard_batch(self.mesh, pixels)
@@ -680,13 +675,9 @@ class Captioner:
             # span/parallel schedules carry no randomness: shared across rows
             positions = sched.positions
         # ragged batches on a mesh: pad rows to the data-axis size with
-        # copies of the last lane, sliced off after the run
-        pad_rows = 0
-        if self.mesh is not None:
-            n_data = dict(
-                zip(self.mesh.axis_names, self.mesh.devices.shape)
-            ).get(mesh_lib.DATA_AXIS, 1)
-            pad_rows = (-B) % n_data
+        # copies of the last lane, sliced off after the run (positions
+        # pad on their batch axis 2, so pad_batch_to_mesh doesn't apply)
+        pad_rows = mesh_lib.data_axis_pad(self.mesh, B)
         if pad_rows:
             image_embeds = jnp.concatenate(
                 [image_embeds] + [image_embeds[-1:]] * pad_rows, axis=0
@@ -739,6 +730,11 @@ class Captioner:
             self.params, tables, hyper, image_embeds, init_dev,
             positions, sizes,
         )
+        # dispatch is asynchronous: block before reading the clock, or
+        # elapsed records dispatch time (~ms) instead of generation time
+        # (the reference's "Finished in %.3fs", gen_utils.py:294)
+        jax.block_until_ready((iter_ids, iter_cos, iter_ctl, best_ids,
+                               best_cos))
         elapsed = time.time() - t0
         return self._package_result(
             iter_ids, iter_cos, iter_ctl, best_ids, best_cos, B, elapsed
@@ -761,14 +757,15 @@ class Captioner:
                 self._decoder.batch_decode(iter_ids[i], skip_special_tokens=True)
             )
             clip_score_sequence.append([float(c) for c in iter_cos[i]])
-        best_caps = []
-        for b in range(B):
-            if best_cos[b] > 0:
-                best_caps.append(
-                    self.wp.decode(best_ids[b], skip_special_tokens=True)
-                )
-            else:  # never improved over the 0-initialized best
-                best_caps.append("None")
+        decoded_best = self._decoder.batch_decode(
+            best_ids, skip_special_tokens=True
+        )
+        best_caps = [
+            # "None" where the best never improved over the 0-initialized
+            # tracker (reference: best_caption stays unset)
+            decoded_best[b] if best_cos[b] > 0 else "None"
+            for b in range(B)
+        ]
         gen_texts_list.append(best_caps)
         clip_score_sequence.append([float(c) for c in best_cos])
         return GenerationResult(

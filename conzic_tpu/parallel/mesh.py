@@ -92,14 +92,23 @@ def replicate(mesh: Optional[Mesh], tree):
     return jax.device_put(tree, replicated(mesh))
 
 
+def data_axis_pad(mesh: Optional[Mesh], batch: int) -> int:
+    """Rows to append so ``batch`` divides the mesh's data-axis size
+    (0 off-mesh or when already divisible) — the one place the
+    axis-name -> size lookup lives."""
+    if mesh is None:
+        return 0
+    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(DATA_AXIS, 1)
+    return (-batch) % n
+
+
 def pad_batch_to_mesh(arrays: Sequence[np.ndarray], mesh: Optional[Mesh]):
     """Pad a host batch so its leading dim divides the mesh size; returns
     (padded arrays, original size)."""
     if mesh is None:
         return list(arrays), arrays[0].shape[0]
-    n = dict(zip(mesh.axis_names, mesh.devices.shape))[DATA_AXIS]
     B = arrays[0].shape[0]
-    pad = (-B) % n
+    pad = data_axis_pad(mesh, B)
     if pad == 0:
         return list(arrays), B
     out = []

@@ -86,8 +86,14 @@ def build_bridge_table(
     slow = [(i, b) for i, b in entries if not (
         b.isascii() and b.islower() and b.isalpha())]
     if native_enc is not None and fast:
+        # a word of L chars yields at most L BPE pieces (merges only
+        # reduce), so sizing the buffer to the longest word guarantees
+        # the native path never truncates — preserving the documented
+        # max_pieces=None "no token is ever truncated" contract that a
+        # fixed cap (previously 64) broke for pathological vocab entries
+        cap = max(len(b) for _, b in fast)
         ids_arr, lens_arr = native_enc.encode_words(
-            [b for _, b in fast], max_pieces=64
+            [b for _, b in fast], max_pieces=cap
         )
         for row, (i, _) in enumerate(fast):
             all_pieces[i] = ids_arr[row, : lens_arr[row]].tolist()

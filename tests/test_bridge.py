@@ -433,3 +433,57 @@ def test_exact_bridge_on_mesh_without_callbacks_raises(monkeypatch):
             temperature=0.1, max_iter=1, alpha=0.02, beta=2.0,
             order="sequential",
         )
+
+
+def test_bridge_table_never_truncates_long_tokens(tmp_path):
+    """max_pieces=None contract: the table is sized to the longest piece
+    sequence in the vocab — including a pathological >64-piece alphabetic
+    token, which the native fast path previously hard-capped at 64."""
+    long_word = "zq" * 40  # 80 chars, few test-BPE merges -> many pieces
+    vocab = make_test_wordpiece_vocab(extra_words=[long_word])
+    wp_path = os.path.join(tmp_path, "vocab.txt")
+    with open(wp_path, "w", encoding="utf-8") as f:
+        for tok in sorted(vocab, key=vocab.get):
+            f.write(tok + "\n")
+    wp = WordPieceTokenizer.from_vocab_file(wp_path)
+    bpe = CLIPBPETokenizer.from_files(*make_test_bpe_files(str(tmp_path)))
+    expected = bpe.encode_word_ids(long_word)
+    assert len(expected) > 64  # the scenario the cap used to truncate
+    bridge = build_bridge_table(wp, bpe)
+    i = wp.vocab[long_word]
+    assert bridge.lens[i] == len(expected)
+    assert bridge.ids[i, : bridge.lens[i]].tolist() == expected
+
+
+def test_host_engine_is_memoized_across_runs(monkeypatch):
+    """run_generation_host reuses the jitted _HostEngine across identical
+    Captioner.run calls (api/run.py batch loops would otherwise re-trace
+    five full-model programs per batch on the axon backend)."""
+    import jax.numpy as jnp
+
+    from conzic_tpu.engine import host_exact
+
+    cap = _make_subword_captioner("exact")
+    monkeypatch.setattr(host_exact, "supports_host_callbacks", lambda: False)
+    builds = []
+    orig_init = host_exact._HostEngine.__init__
+
+    def counting_init(self, *a, **kw):
+        builds.append(1)
+        return orig_init(self, *a, **kw)
+
+    monkeypatch.setattr(host_exact._HostEngine, "__init__", counting_init)
+    rng = np.random.RandomState(0)
+    embeds = jnp.asarray(
+        rng.randn(2, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    kwargs = dict(prompt="Image of a", max_len=5, top_k=6, temperature=0.1,
+                  max_iter=1, alpha=0.02, beta=2.0, order="sequential",
+                  rng=np.random.RandomState(3))
+    first = cap.run(embeds, **kwargs)
+    second = cap.run(embeds, **kwargs)
+    assert len(builds) == 1  # second run hit the cache
+    assert first.gen_texts_list == second.gen_texts_list
+    # a different hyperparameter is a different baked program: rebuild
+    cap.run(embeds, **{**kwargs, "beta": 1.5})
+    assert len(builds) == 2

@@ -306,6 +306,66 @@ def test_candidate_pruning_runs_and_commits_valid_tokens(captioner):
     assert r.best_cos[0] <= full.best_cos[0] + 0.2
 
 
+def test_prune_proxy_excludes_edited_slot(captioner):
+    """The stage-1 proxy bag must EXCLUDE the edited slot's current word:
+    in parallel order base_ids is the unmasked iteration-start row, and a
+    bag that keeps the old word scores "old sentence + new word" while
+    stage 2 scores rows with the old word replaced. Pinned property: the
+    proxy over an unmasked base row equals the proxy over the same row
+    with [MASK] at the slot (whose table embedding is exact 0)."""
+    from conzic_tpu import energies
+
+    cap = captioner
+    cap._ensure_word_embeds()
+    we = cap.tables["word_embeds"]
+    rng = np.random.RandomState(7)
+    V = cap.wp.vocab_size
+    S, B, K = 9, 2, 5
+    base = rng.randint(0, V, size=(B, S)).astype(np.int32)
+    col = np.array([3, 5], np.int32)
+    masked = base.copy()
+    masked[np.arange(B), col] = cap.wp.mask_token_id
+    cands = rng.randint(0, V, size=(B, K)).astype(np.int32)
+    img = rng.randn(B, cap.clip_model.config.projection_dim).astype(
+        np.float32
+    )
+    p_unmasked = energies.prune_proxy_scores(
+        we, jnp.asarray(base), jnp.asarray(col), jnp.asarray(cands),
+        jnp.asarray(img), S)
+    p_masked = energies.prune_proxy_scores(
+        we, jnp.asarray(masked), jnp.asarray(col), jnp.asarray(cands),
+        jnp.asarray(img), S)
+    # (bag + w) - w vs bag + 0 - 0: equal up to fp32 summation rounding
+    np.testing.assert_allclose(np.asarray(p_unmasked),
+                               np.asarray(p_masked), atol=1e-5)
+    # the proxy is insensitive to WHICH word sits at the edited slot
+    base2 = base.copy()
+    base2[np.arange(B), col] = rng.randint(0, V, size=B)
+    p_other = energies.prune_proxy_scores(
+        we, jnp.asarray(base2), jnp.asarray(col), jnp.asarray(cands),
+        jnp.asarray(img), S)
+    np.testing.assert_allclose(np.asarray(p_unmasked),
+                               np.asarray(p_other), atol=1e-5)
+
+
+def test_parallel_order_with_pruning_runs(captioner):
+    """parallel order + prune_k compiles and commits in-vocab tokens (the
+    only order whose proxy base row is unmasked — regression companion to
+    test_prune_proxy_excludes_edited_slot)."""
+    cap = captioner
+    rng = np.random.RandomState(17)
+    image_embeds = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    r = cap.run(
+        image_embeds, prompt="Image of a", max_len=5, top_k=12,
+        temperature=0.1, max_iter=2, alpha=0.02, beta=2.0,
+        order="parallel", prune_k=4,
+    )
+    sent = r.iter_ids[-1][0][cap.seed_len("Image of a"):-1]
+    assert all(0 <= t < cap.wp.vocab_size for t in sent.tolist())
+
+
 def test_topk_mode_approx_pruned_only(captioner):
     """``topk_mode="approx"`` (jax.lax.approx_max_k stage-1) is refused
     without prune_k (it would silently de-parity the exact tier), and with
