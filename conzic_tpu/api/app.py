@@ -16,7 +16,11 @@ from __future__ import annotations
 
 import argparse
 
-from conzic_tpu.config import ConzicConfig, DEFAULT_POS_TEMPLATE
+from conzic_tpu.config import (
+    ConzicConfig,
+    DEFAULT_POS_TEMPLATE,
+    config_from_args,
+)
 from conzic_tpu.engine.sampler import control_generate_caption, generate_caption
 from conzic_tpu.runtime.logging import null_logger
 from conzic_tpu.runtime.seeding import set_seed
@@ -104,9 +108,9 @@ def build_ui(captioner, cfg: ConzicConfig):
                 prompt = gr.Textbox(value="Image of a", label="Prompt")
                 sentence_len = gr.Slider(5, 15, value=10, step=1,
                                          label="Sentence Length")
-                num_iterations = gr.Slider(1, 15, value=1, step=1,
+                num_iterations = gr.Slider(1, 15, value=10, step=1,
                                            label="Num Iterations")
-                samples_num = gr.Slider(1, 5, value=1, step=1,
+                samples_num = gr.Slider(1, 5, value=2, step=1,
                                         label="Samples")
                 alpha = gr.Slider(0, 1, value=cfg.alpha, step=0.01,
                                   label="Alpha", info="Weight for fluency")
@@ -160,6 +164,10 @@ def main(argv=None):
     p.add_argument("--random_models", nargs="?", const="full",
                    choices=["full", "tiny"], default=False)
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--device", type=str, default="tpu",
+                   choices=["tpu", "cpu", "cuda"],
+                   help="cpu forces the CPU backend (functional; required "
+                        "for side processes while a bench holds the TPU)")
     p.add_argument("--ui", choices=["auto", "gradio", "fallback"],
                    default="auto",
                    help="auto: gradio when installed, else the stdlib "
@@ -180,9 +188,10 @@ def main(argv=None):
 
     from conzic_tpu.api.demo import build_captioner
 
-    cfg = ConzicConfig()
-    cfg.lm_model = args.lm_model
-    cfg.match_model = args.match_model
+    # config_from_args gives this entry point the same functional
+    # --device cpu and persistent-compile-cache behavior as every other
+    # CLI (CLAUDE.md rules; it copies lm_model/match_model from args)
+    cfg = config_from_args(args)
     captioner = build_captioner(cfg, random_models=args.random_models)
     if use_gradio:
         ui = build_ui(captioner, cfg)

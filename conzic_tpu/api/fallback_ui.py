@@ -61,11 +61,11 @@ _PAGE = """<!doctype html>
  <label>Sentence Length: <span id="lenv">10</span></label>
  <input type="range" id="sentence_len" min="5" max="15" step="1" value="10"
   oninput="lenv.textContent=this.value">
- <label>Num Iterations: <span id="iterv">1</span></label>
- <input type="range" id="num_iterations" min="1" max="15" step="1" value="1"
+ <label>Num Iterations: <span id="iterv">10</span></label>
+ <input type="range" id="num_iterations" min="1" max="15" step="1" value="10"
   oninput="iterv.textContent=this.value">
- <label>Samples: <span id="sampv">1</span></label>
- <input type="range" id="samples_num" min="1" max="5" step="1" value="1"
+ <label>Samples: <span id="sampv">2</span></label>
+ <input type="range" id="samples_num" min="1" max="5" step="1" value="2"
   oninput="sampv.textContent=this.value">
  <label>Alpha (weight for fluency): <span id="alphav">__ALPHA__</span></label>
  <input type="range" id="alpha" min="0" max="1" step="0.01" value="__ALPHA__"

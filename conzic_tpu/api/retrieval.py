@@ -102,12 +102,20 @@ class CLIPIndex:
 
 def _make_captioner(args):
     from conzic_tpu.api.demo import build_captioner
-    from conzic_tpu.config import ConzicConfig
+    from conzic_tpu.config import config_from_args
 
-    cfg = ConzicConfig()
-    cfg.lm_model = args.lm_model
-    cfg.match_model = args.clip_name
+    # config_from_args provides the functional --device cpu and the
+    # persistent compile cache (CLAUDE.md rules for every TPU-heavy CLI)
+    cfg = config_from_args(args)
+    cfg.match_model = args.clip_name  # reference flag name differs
     return build_captioner(cfg, random_models=args.random_models)
+
+
+def _add_device_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--device", type=str, default="tpu",
+                   choices=["tpu", "cpu", "cuda"],
+                   help="cpu forces the CPU backend (functional; required "
+                        "for side processes while a bench holds the TPU)")
 
 
 def build_index_main(argv=None):
@@ -118,6 +126,7 @@ def build_index_main(argv=None):
     p.add_argument("--save_index_prefix", required=True)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--random_models", action="store_true")
+    _add_device_arg(p)
     args = p.parse_args(argv)
     captioner = _make_captioner(args)
     build_index(captioner, args.text_file_path, args.save_index_prefix,
@@ -136,6 +145,7 @@ def retrieval_main(argv=None):
     p.add_argument("--save_path_prefix", default=".")
     p.add_argument("--save_name", default="retrieval_result.json")
     p.add_argument("--random_models", action="store_true")
+    _add_device_arg(p)
     args = p.parse_args(argv)
     captioner = _make_captioner(args)
     index = CLIPIndex(args.index_matrix_path, args.mapping_dict_path, captioner)

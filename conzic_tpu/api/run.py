@@ -21,7 +21,11 @@ import os
 from conzic_tpu.config import add_reference_args, config_from_args
 from conzic_tpu.api.demo import build_captioner
 from conzic_tpu.engine.sampler import control_generate_caption, generate_caption
-from conzic_tpu.runtime.logging import create_logger, run_log_filename
+from conzic_tpu.runtime.logging import (
+    create_logger,
+    run_log_filename,
+    run_type_label,
+)
 from conzic_tpu.runtime.seeding import set_seed
 
 
@@ -87,9 +91,7 @@ def main(argv=None):
     cfg = config_from_args(args)  # --device cpu handled there (functional)
     rng = set_seed(cfg.seed)
 
-    run_type = "caption" if cfg.run_type == "caption" else cfg.control_type
-    if run_type == "sentiment":
-        run_type = cfg.sentiment_type
+    run_type = run_type_label(cfg)
     logger = create_logger(cfg.logger_dir, run_log_filename(cfg))
     logger.info(f"Generating order:{cfg.order}")
     logger.info(f"Run type:{run_type}")

@@ -14,27 +14,30 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 
-def clip_scores(captioner, image_paths: Sequence[str], captions: Sequence[str]) -> np.ndarray:
+def clip_scores(captioner, image_paths: Sequence[str], captions: Sequence[str],
+                batch_size: int = 64) -> np.ndarray:
     """Cosine similarity per (image, caption) pair, reference scale
-    (raw cosine, not logit-scaled)."""
+    (raw cosine, not logit-scaled).
+
+    Both sides run in fixed-size padded chunks so exactly ONE program per
+    side compiles regardless of corpus size (a whole-file batch would
+    shape-specialize a fresh ~4-6 min remote compile per distinct file
+    length and risk HBM exhaustion on large files) — the same pattern as
+    ``api/retrieval._encode_texts``, which the text side reuses."""
     from PIL import Image
 
-    import jax.numpy as jnp
+    from conzic_tpu.api.retrieval import _encode_texts
 
-    from conzic_tpu.models.clip import CLIPModel
-
+    if not image_paths:
+        return np.zeros((0,), np.float32)
     imgs = [Image.open(p).convert("RGB") for p in image_paths]
-    img_emb = np.asarray(captioner.encode_images(imgs))
-    ids, mask = captioner.bpe.batch_encode(list(captions), max_length=77,
-                                           pad_to_max=True)
-    txt_emb = np.asarray(
-        captioner.clip_model.apply(
-            {"params": captioner.params["clip"]},
-            jnp.asarray(ids),
-            jnp.asarray(mask),
-            method=CLIPModel.encode_text,
-        )
-    )
+    embs = []
+    for i in range(0, len(imgs), batch_size):
+        chunk = imgs[i : i + batch_size]
+        padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
+        embs.append(np.asarray(captioner.encode_images(padded))[: len(chunk)])
+    img_emb = np.concatenate(embs, axis=0)
+    txt_emb = _encode_texts(captioner, list(captions), batch_size)
     img_emb = img_emb / np.linalg.norm(img_emb, axis=-1, keepdims=True)
     txt_emb = txt_emb / np.linalg.norm(txt_emb, axis=-1, keepdims=True)
     return np.sum(img_emb * txt_emb, axis=-1)

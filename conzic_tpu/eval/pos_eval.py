@@ -46,10 +46,15 @@ def batch_texts_pos_analysis(
             cur_tag = res_tag[:total_num]
         correct = 0
         for word_id, slot in enumerate(pos_template):
-            entries = slot if isinstance(slot, (list, tuple)) else [slot]
-            if entries in ([""], []) or slot == "":
+            # EXACT reference operator semantics (POS_classifier.py:23-26):
+            # a list slot is membership; a STRING slot is Python substring
+            # — so for flat string templates (the reference's own __main__
+            # eval, :44) a short caption's ""-padded tags count as correct
+            # for every non-empty slot, and only a bare "" slot (not [""]
+            # or []) is auto-correct. Quirk preserved; see PARITY.md.
+            if slot == "":
                 correct += 1
-            elif cur_tag[word_id] in entries:
+            elif cur_tag[word_id] in slot:
                 correct += 1
         pos_tags.append(res_tag)
         pos_scores.append(correct / total_num)

@@ -23,6 +23,14 @@ MODEL_AXIS = "model"
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            # a silent truncation would run on fewer chips than asked
+            # (--mesh_data_axis 4 on a 1-chip platform) and the user
+            # would misread every throughput number
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} device(s) are visible"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
@@ -33,6 +41,11 @@ def make_mesh_2d(data: int, model: int, devices=None) -> Mesh:
     (both models fit per chip, SURVEY.md §2.3, so this is not required for
     capacity; it demonstrates and tests the TP path)."""
     devices = devices if devices is not None else jax.devices()
+    if len(devices) < data * model:
+        raise ValueError(
+            f"requested a {data}x{model} mesh but only "
+            f"{len(devices)} device(s) are visible"
+        )
     devices = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
 

@@ -19,6 +19,8 @@ def create_logger(folder: str, filename: str) -> logging.Logger:
     os.makedirs(folder, exist_ok=True)
     logger = logging.getLogger("conzic_tpu")
     logger.setLevel(logging.DEBUG)
+    for h in logger.handlers:  # close the previous run's file handler:
+        h.close()  # dropping it unreleased leaks one fd per run
     logger.handlers = []
     try:
         import colorlog
@@ -38,11 +40,19 @@ def create_logger(folder: str, filename: str) -> logging.Logger:
     return logger
 
 
-def run_log_filename(cfg: ConzicConfig, prefix: Optional[str] = None) -> str:
-    """'{runtype}_{order}_len..._{timestamp}.log' (demo.py:114-118)."""
+def run_type_label(cfg: ConzicConfig) -> str:
+    """'caption' / control type / sentiment polarity — the run label used
+    in log filenames, console lines and result directories
+    (demo.py:114-118; the one place the mapping lives)."""
     run_type = "caption" if cfg.run_type == "caption" else cfg.control_type
     if run_type == "sentiment":
         run_type = cfg.sentiment_type
+    return run_type
+
+
+def run_log_filename(cfg: ConzicConfig, prefix: Optional[str] = None) -> str:
+    """'{runtype}_{order}_len..._{timestamp}.log' (demo.py:114-118)."""
+    run_type = run_type_label(cfg)
     stamp = time.strftime("%Y-%m-%d-%H-%M-%S", time.localtime())
     name = (
         f"{run_type}_{cfg.order}_len{cfg.sentence_len}_topk{cfg.candidate_k}"

@@ -27,22 +27,40 @@ def prefetch_map(fn: Callable[[T], U], iterable: Iterable[T],
     thread. Order-preserving; exceptions from ``fn`` (or the iterable)
     re-raise at the consuming site."""
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+
+    def put(entry) -> bool:
+        # bounded put that gives up when the consumer abandoned the
+        # generator — otherwise the worker blocks on the full queue
+        # forever, leaking the thread plus a decoded image batch
+        while not stop.is_set():
+            try:
+                q.put(entry, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterable:
-                q.put((True, fn(item)))
+                if not put((True, fn(item))):
+                    return
         except BaseException as e:  # propagate to the consumer
-            q.put((False, e))
+            put((False, e))
             return
-        q.put((True, _SENTINEL))
+        put((True, _SENTINEL))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        ok, item = q.get()
-        if not ok:
-            raise item
-        if item is _SENTINEL:
-            return
-        yield item
+    try:
+        while True:
+            ok, item = q.get()
+            if not ok:
+                raise item
+            if item is _SENTINEL:
+                return
+            yield item
+    finally:
+        # runs on exhaustion, consumer exception, or generator.close()
+        stop.set()

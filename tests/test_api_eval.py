@@ -99,6 +99,27 @@ def test_pos_eval_template_accuracy():
     assert hist["DET"] == 1 and hist["NOUN"] == 1
 
 
+def test_pos_eval_flat_string_template_reference_semantics():
+    """EXACT reference operator semantics for flat string templates
+    (POS_classifier.py:23-26, used by its own __main__ eval at :44):
+    string slots use Python substring `in`, so ""-padded tags of a short
+    caption count as correct for every non-empty slot."""
+    template = ["DET", "NOUN", "VERB", "ADV"]
+    _, scores = batch_texts_pos_analysis(["dog"], template)
+    # "dog" tags NOUN: slot DET wrong, padded ""-tags match slots 2-4
+    # by substring ("" in "NOUN" etc.) -> 3/4
+    assert scores[0] == 0.75
+    _, scores = batch_texts_pos_analysis(["the girl walked slowly"], template)
+    assert scores[0] == 1.0
+    # list slots keep membership semantics: "" does NOT match ["NOUN"]
+    _, scores = batch_texts_pos_analysis(["dog"], [["NOUN"], ["VERB"]])
+    assert scores[0] == 0.5
+    # only a bare "" slot is auto-correct (reference line 23); [""] is a
+    # list slot and matches nothing but the "" pad tag
+    _, scores = batch_texts_pos_analysis(["dog"], [[""], ["NOUN"]])
+    assert scores[0] == 0.0  # NOUN not in [""], "" pad not in ["NOUN"]
+
+
 def test_word_tokenize_fallback():
     assert word_tokenize("A dog, running!") == ["a", "dog", ",", "running", "!"]
 
