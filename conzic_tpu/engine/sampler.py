@@ -391,6 +391,12 @@ class Captioner:
         all other orders: 0)."""
         if self.cfg.kv_chunk_size <= 0:
             return None
+        if self.cfg.scan_layers:
+            # prefix-KV reuse / pooled readout need per-layer K/V access,
+            # which the nn.scan-rolled stack cannot expose — without this
+            # gate the generation crashes on an assertion deep inside the
+            # stack (layers.py "require scan_layers=False")
+            return None
         lens = np.asarray(self.bridge.lens)
         prompt_ids = np.asarray(init_row[0][1:seed_len])
         if prompt_ids.size and (lens[prompt_ids] <= 0).any():

@@ -103,6 +103,7 @@ class CLIPTextTower(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             scan_layers=self.scan_layers,
+            quant=self.quant,
             name="encoder",
         )
         # Pool at the first EOS position (HF CLIP pools at argmax(ids), valid

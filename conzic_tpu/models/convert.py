@@ -100,9 +100,21 @@ def bert_params_from_state_dict(sd: StateDict, config: BertConfig) -> dict:
     params["mlm"] = {
         "transform": _dense(sd, "cls.predictions.transform.dense"),
         "ln": _ln(sd, "cls.predictions.transform.LayerNorm"),
-        "bias": sd.get("cls.predictions.bias", sd.get("cls.predictions.decoder.bias")),
+        "bias": _first_key(sd, "cls.predictions.bias", "cls.predictions.decoder.bias"),
     }
     return params
+
+
+def _first_key(sd: StateDict, *names: str):
+    """First present tensor among ``names``; a missing-everywhere lookup
+    raises NOW with the candidate names instead of planting a None leaf
+    that surfaces later as a cryptic tree-map error."""
+    for n in names:
+        if n in sd:
+            return sd[n]
+    raise KeyError(
+        f"checkpoint has none of {names!r} — not a *ForMaskedLM export?"
+    )
 
 
 def _roberta_params(sd: StateDict, config: BertConfig) -> dict:
@@ -142,7 +154,7 @@ def _roberta_params(sd: StateDict, config: BertConfig) -> dict:
     params["mlm"] = {
         "transform": _dense(sd, "lm_head.dense"),
         "ln": _ln(sd, "lm_head.layer_norm"),
-        "bias": sd.get("lm_head.bias", sd.get("lm_head.decoder.bias")),
+        "bias": _first_key(sd, "lm_head.bias", "lm_head.decoder.bias"),
     }
     return params
 

@@ -139,6 +139,10 @@ class MultiHeadAttention(nn.Module):
             and residual is not None
             and prefix_kv is None
             and not return_kv
+            # the block kernel derives K/V from its single input: a
+            # separate x_kv source (pooled-rows final layer) would make
+            # the pooled query rows attend only to themselves
+            and x_kv is None
             and jax.default_backend() == "tpu"
             # the kernel consumes lens/causal, not raw additive biases
             and (bias is None or isinstance(bias, AttnMask))
@@ -227,6 +231,7 @@ class MultiHeadAttention(nn.Module):
                     and jax.default_backend() == "tpu"
                 )
                 if (self.attn_impl == "pallas_out" and fusable
+                        and not return_kv  # early-returns without (k, v)
                         and self.quant == "none"):
                     # attention + out-projection in ONE kernel: contains the
                     # exp/normalize -> out-proj chain whose lost fusion made

@@ -174,7 +174,14 @@ def dot_product_attention(
     if mask is not None:
         bias = mask.bias
     if impl == "pallas":
-        if jax.default_backend() == "tpu":
+        if mask is None and bias is not None:
+            # a raw additive bias without the structured AttnMask (the
+            # pooled-readout query_idx path converts the mask to a bias
+            # array, layers.py) cannot be expressed through the fused
+            # kernel's (lens, causal) interface — running it anyway would
+            # silently DROP the causal/padding mask. Fall back to xla.
+            impl = "xla"
+        elif jax.default_backend() == "tpu":
             from conzic_tpu.ops.fused_attention import fused_masked_attention
 
             return fused_masked_attention(
@@ -183,7 +190,8 @@ def dot_product_attention(
                 causal=mask.causal if mask is not None else False,
                 group=8,
             )
-        impl = "xla"  # fallback off-TPU
+        else:
+            impl = "xla"  # fallback off-TPU
 
     dtype = q.dtype
     depth = q.shape[-1]

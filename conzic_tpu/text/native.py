@@ -49,6 +49,7 @@ def _load_lib():
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
+        ctypes.c_int32,  # unk id (substituted for out-of-range ids)
     ]
     lib.ft_wordpiece_free.argtypes = [ctypes.c_void_p]
     lib.ft_wordpiece_batch_decode.restype = ctypes.c_int64
@@ -112,6 +113,7 @@ class NativeWordPieceDecoder:
             len(tokens),
             special_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(special_ids),
+            wp.vocab.get(wp.unk_token, -1),
         )
 
     def __del__(self):
@@ -126,6 +128,8 @@ class NativeWordPieceDecoder:
         if ids.ndim == 1:
             ids = ids[None]
         n_rows, row_len = ids.shape
+        if n_rows == 0:
+            return []  # "".split("\n") would invent one phantom row
         cap = max(4096, n_rows * row_len * 12)
         while True:
             buf = ctypes.create_string_buffer(cap)

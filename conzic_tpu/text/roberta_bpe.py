@@ -63,9 +63,11 @@ class RobertaBPETokenizer:
             t for t in (bos_token, pad_token, eos_token, unk_token, mask_token)
             if t in self.encoder
         ]
+        # guard the no-specials case: "()" matches the empty string and
+        # re.split would shatter every input into single characters
         self._special_re = _stdre.compile(
             "(" + "|".join(_stdre.escape(t) for t in self.special_tokens) + ")"
-        )
+        ) if self.special_tokens else None
 
     # --- constructors -----------------------------------------------------
     @staticmethod
@@ -156,7 +158,9 @@ class RobertaBPETokenizer:
         """Split on special tokens (mask lstrip: strip the space before a
         special, as HF's AddedToken(lstrip=True) for <mask>), BPE the rest."""
         out: List[str] = []
-        chunks = self._special_re.split(text)
+        chunks = (
+            self._special_re.split(text) if self._special_re else [text]
+        )
         for i, chunk in enumerate(chunks):
             if not chunk:
                 continue

@@ -28,7 +28,7 @@ def clean_up_tokenization(text: str) -> str:
         .replace(" ?", "?")
         .replace(" !", "!")
         .replace(" ,", ",")
-        .replace(" ' ", "' ")
+        .replace(" ' ", "'")
         .replace(" n't", "n't")
         .replace(" 'm", "'m")
         .replace(" 's", "'s")
@@ -66,9 +66,11 @@ class WordPieceTokenizer:
         self.basic = BasicNormalizer(
             do_lower_case=do_lower_case, never_split=self.special_tokens
         )
+        # guard the no-specials case: "()" matches the empty string and
+        # re.split would shatter every input into single characters
         self._special_re = re.compile(
             "(" + "|".join(re.escape(t) for t in self.special_tokens) + ")"
-        )
+        ) if self.special_tokens else None
 
     # --- constructors -----------------------------------------------------
     @staticmethod
@@ -140,7 +142,10 @@ class WordPieceTokenizer:
 
     def tokenize(self, text: str) -> List[str]:
         out: List[str] = []
-        for chunk in self._special_re.split(text):
+        chunks = (
+            self._special_re.split(text) if self._special_re else [text]
+        )
+        for chunk in chunks:
             if not chunk:
                 continue
             if chunk in self.special_tokens:

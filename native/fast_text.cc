@@ -33,6 +33,7 @@ struct WordPieceVocab {
   std::vector<std::string> tokens;
   std::unordered_map<std::string, int32_t> ids;
   std::vector<uint8_t> is_special;  // [PAD]/[UNK]/[CLS]/[SEP]/[MASK]
+  int32_t unk_id = -1;  // substituted for out-of-range ids (HF parity)
 };
 
 struct BpeVocab {
@@ -61,7 +62,7 @@ std::string cleanup(std::string text) {
   replace_all(text, " ?", "?");
   replace_all(text, " !", "!");
   replace_all(text, " ,", ",");
-  replace_all(text, " ' ", "' ");
+  replace_all(text, " ' ", "'");  // HF: no trailing space
   replace_all(text, " n't", "n't");
   replace_all(text, " 'm", "'m");
   replace_all(text, " 's", "'s");
@@ -78,7 +79,13 @@ std::string decode_row(const WordPieceVocab& v, const int32_t* ids, int n,
   bool first = true;
   for (int i = 0; i < n; ++i) {
     int32_t id = ids[i];
-    if (id < 0 || id >= (int32_t)v.tokens.size()) continue;
+    if (id < 0 || id >= (int32_t)v.tokens.size()) {
+      // Python convert_ids_to_tokens maps unknown ids to the UNK token
+      // (HF get(index, unk_token)); silently skipping would desync the
+      // pinned native==Python contract
+      if (v.unk_id < 0) continue;
+      id = v.unk_id;
+    }
     if (skip_special && v.is_special[id]) continue;
     const std::string& tok = v.tokens[id];
     if (!first && tok.size() >= 2 && tok[0] == '#' && tok[1] == '#') {
@@ -152,8 +159,10 @@ extern "C" {
 // --- WordPiece vocab lifecycle ---------------------------------------------
 
 void* ft_wordpiece_new(const char** tokens, int32_t n,
-                       const int32_t* special_ids, int32_t n_special) {
+                       const int32_t* special_ids, int32_t n_special,
+                       int32_t unk_id) {
   auto* v = new WordPieceVocab();
+  v->unk_id = (unk_id >= 0 && unk_id < n) ? unk_id : -1;
   v->tokens.reserve(n);
   v->is_special.assign(n, 0);
   for (int32_t i = 0; i < n; ++i) {

@@ -942,3 +942,24 @@ def test_masked_and_banned_ids_never_committed(captioner):
         mid, last = sent[:, :, :-1].ravel(), sent[:, :, -1].ravel()
         assert mask_mid[mid].all(), order
         assert mask_last[last].all(), order
+
+
+def test_scan_layers_generation_runs():
+    """scan_layers=True (nn.scan-rolled stacks) cannot expose per-layer
+    K/V, so the sampler must disable prefix-KV reuse instead of crashing
+    on the stack's internal assertion (regression: default kv_chunk_size
+    enabled prefix chunks regardless)."""
+    from conzic_tpu.config import ConzicConfig
+
+    cap = Captioner.from_random(
+        config=ConzicConfig(dtype="float32", scan_layers=True),
+        init_mode="proper", seed=3,
+    )
+    rng = np.random.RandomState(1)
+    emb = jnp.asarray(
+        rng.randn(1, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    r = cap.run(emb, prompt="Image of a", max_len=4, top_k=6,
+                temperature=0.1, max_iter=1, alpha=0.02, beta=2.0,
+                order="sequential", rng=np.random.RandomState(2))
+    assert len(r.gen_texts_list) == 2

@@ -69,3 +69,23 @@ def test_native_decode_row_leading_continuation(toks):
     assert dec.batch_decode(rows, True) == wp.batch_decode(rows, True)
     assert dec.batch_decode(rows, True)[0] == "##ing dog"
     assert dec.batch_decode(rows, True)[1] == "doging"
+
+
+def test_native_decode_out_of_range_ids_match_python(toks):
+    """Python maps unknown ids to the UNK token (HF get(index, unk_token));
+    the native decoder must do the same, not silently skip them."""
+    wp, _ = toks
+    dec = native.NativeWordPieceDecoder(wp)
+    row = np.asarray([[wp.vocab["the"], -1, wp.vocab_size + 7,
+                       wp.vocab["cat"]]], np.int32)
+    for skip in (False, True):
+        assert dec.batch_decode(row, skip) == wp.batch_decode(row, skip)
+    # and the UNK substitution is visible when specials are kept
+    assert wp.unk_token in dec.batch_decode(row, False)[0]
+
+
+def test_native_decode_empty_batch_matches_python(toks):
+    wp, _ = toks
+    dec = native.NativeWordPieceDecoder(wp)
+    empty = np.zeros((0, 5), np.int32)
+    assert dec.batch_decode(empty, True) == wp.batch_decode(empty, True) == []

@@ -198,3 +198,31 @@ def test_rule_derived_mask_matches_reference_stop_words_file():
     # the '.' rule is applied identically by both paths
     assert mask_mid_rule[vocab["."]] == 0.0 == mask_mid_file[vocab["."]]
     assert mask_last_rule[vocab["."]] == 1.0 == mask_last_file[vocab["."]]
+
+
+def test_cleanup_bare_apostrophe_matches_hf():
+    """HF's clean_up_tokenization replaces " ' " with "'" (no trailing
+    space): "the dog ' s toy" -> "the dog's toy". The repo rule once kept
+    the trailing space, silently diverging from reference batch_decode."""
+    from conzic_tpu.text.wordpiece import clean_up_tokenization
+
+    assert clean_up_tokenization("the dog ' s toy") == "the dog's toy"
+    try:
+        from transformers.tokenization_utils_base import PreTrainedTokenizerBase
+
+        hf = PreTrainedTokenizerBase.clean_up_tokenization("the dog ' s toy")
+        assert clean_up_tokenization("the dog ' s toy") == hf
+    except ImportError:
+        pass
+
+
+def test_tokenizer_without_special_tokens_in_vocab():
+    """A vocab carrying none of the five specials must still wordpiece
+    normally (the special-splitting regex would otherwise be "()" and
+    shatter inputs into characters)."""
+    from conzic_tpu.text.wordpiece import WordPieceTokenizer
+
+    vocab = {w: i for i, w in enumerate(
+        ["hello", "world", "hell", "##o", "wor", "##ld"])}
+    wp = WordPieceTokenizer(vocab)
+    assert wp.tokenize("hello world") == ["hello", "world"]
