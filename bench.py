@@ -13,7 +13,7 @@ sides run full-architecture randomly initialized models over a synthetic
     (torch CPU, HF-tokenizer host decode -> CLIP re-tokenize per candidate,
     full (B,S,V) logits per step — the semantics of
     /root/reference/gen_utils.py:51-96), measured on this machine and cached
-    in .bench_baseline.json. The reference itself supports only
+    in BASELINE_MEASURED.json (committed). The reference itself supports only
     cuda|cpu (demo.py:20-21); torch-cpu is its runnable config here.
 
 Env knobs: CONZIC_BENCH_BATCH (default 32), CONZIC_BENCH_K (200),
@@ -63,6 +63,9 @@ XLA_OPTIONS = os.environ.get("CONZIC_BENCH_XLA_OPTIONS")
 # headline configuration
 SMALL_MODELS = os.environ.get("CONZIC_BENCH_SMALL_MODELS") == "1"
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+# effective (post-backend-clamp) settings recorded by build_captioner for
+# the metric label
+EFFECTIVE: dict = {}
 PROMPT = "Image of a"
 
 
@@ -94,6 +97,10 @@ def build_captioner():
     cfg.clip_row_chunk = ROW_CHUNK
     cfg.clip_token_budget = TOKEN_BUDGET
     cfg.quant = QUANT if on_tpu else "none"
+    # the metric label must describe the EFFECTIVE operating point: off-TPU
+    # the quant/param_dtype requests are dropped above, and labeling the
+    # JSON line with them would attribute the number to the wrong config
+    EFFECTIVE["quant"] = cfg.quant
     if XLA_OPTIONS is not None:  # env override; sampler applies TPU-only
         cfg.compiler_options = XLA_OPTIONS
     cfg.clip_pad_to = PAD_TO
@@ -320,7 +327,8 @@ def main():
                   + (" final_exact" if PRUNE and PRUNE_FINAL_EXACT else "")
                   + (f" topk=approx{TOPK_RECALL:g}"
                      if PRUNE and TOPK_MODE == "approx" else "")
-                  + (f" quant={QUANT}" if QUANT != "none" else ""),
+                  + (f" quant={EFFECTIVE.get('quant', QUANT)}"
+                     if EFFECTIVE.get("quant", QUANT) != "none" else ""),
         "value": round(ours, 4),
         "unit": "captions/sec",
         "vs_baseline": round(vs, 2) if vs else None,

@@ -106,8 +106,11 @@ def main():
     )
     cmd = [py, "tools/validate_pruning.py", "--matrix", "--out", matrix_out,
            *cpu]
+    # smoke: --prune_k 4 keeps the order/ctl rows genuinely pruned at
+    # k=16 (the default 40 >= 16 would silently disable pruning and
+    # record vacuously-perfect cells)
     cmd += (["--random_models", "tiny", "--iters", "2", "--n_images", "2",
-             "--sentence_len", "5", "--k", "16"]
+             "--sentence_len", "5", "--k", "16", "--prune_k", "4"]
             if smoke else [*models])
     run_step("pruning_matrix", cmd, steps)
 

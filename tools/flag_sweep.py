@@ -130,6 +130,10 @@ def main():
         names = [n for n in CONFIGS
                  if not (CONFIGS[n] in seen_opts or seen_opts.add(CONFIGS[n]))]
     results = load()
+    # legacy entries lack a per-entry "batch" key; their operating point is
+    # the FILE-level batch at the time — capture it before overwriting, or
+    # the cache check would treat them as measured at args.batch
+    legacy_batch = results.get("batch")
     results["batch"] = args.batch
 
     for name in names:
@@ -140,7 +144,7 @@ def main():
         cached = results["configs"].get(key)
         if not args.rerun and cached and \
                 cached.get("caps_per_s") is not None and \
-                cached.get("batch", results.get("batch")) == args.batch:
+                cached.get("batch", legacy_batch) == args.batch:
             # a cached number measured at a DIFFERENT batch is a
             # different operating point: re-measure instead of reusing
             print(f"[{key}] cached: {cached}")

@@ -22,7 +22,6 @@ Usage:
 """
 
 import argparse
-import glob
 import json
 import os
 import sys
@@ -68,14 +67,31 @@ def main():
         "--samples_num", str(args.samples),
         "--batch_size", str(args.batch_size),
         "--caption_img_path", args.images,
+        "--lm_model", args.lm_model,
+        "--match_model", args.match_model,
     ] + (["--random_models"] if args.random_models else []))
     caption_time = time.time() - t0
 
-    # collect best captions per sample from the runner's artifacts
+    # collect best captions per sample from THIS run's artifact dir —
+    # run.py's dir name is deterministic (no timestamp), so a bare
+    # results/* glob would sweep in stale artifacts from every previous
+    # config and corrupt the counts/diversity/caps-per-sec numbers
+    from conzic_tpu.config import ConzicConfig
+
+    d = ConzicConfig()
+    run_dir = (
+        f"{d.results_dir}/caption_{args.order}_len{args.sentence_len}"
+        f"_topk{args.k}_alpha{d.alpha:.3f}_beta{d.beta:.3f}"
+        f"_gamma{d.gamma:.3f}_lmTemp{d.lm_temperature:.3f}"
+    )
     sample_bests = []
-    for best in sorted(glob.glob("results/*/sample_*/best_clipscore.json")):
-        with open(best) as f:
-            sample_bests.append(json.load(f))
+    # only THIS run's sample ids (a prior same-config run with more
+    # samples leaves higher sample_N dirs behind)
+    for i in range(args.samples):
+        best = f"{run_dir}/sample_{i}/best_clipscore.json"
+        if os.path.exists(best):
+            with open(best) as f:
+                sample_bests.append(json.load(f))
     if not sample_bests:
         sys.exit("no results written — captioning failed")
     n_images = len(sample_bests[0])

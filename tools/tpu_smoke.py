@@ -20,11 +20,10 @@ def main():
     import jax.numpy as jnp
 
     assert jax.default_backend() == "tpu", "smoke test needs the TPU"
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
+    from conzic_tpu.runtime.cache import enable_persistent_cache
+
+    enable_persistent_cache()  # shared helper: min-compile-time, env
+    # override and unwritable-checkout fallback included (CLAUDE.md)
 
     from conzic_tpu.engine.sampler import Captioner
 

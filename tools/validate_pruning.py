@@ -130,7 +130,13 @@ def main():
     common = dict(sentence_len=args.sentence_len, iters=args.iters, k=args.k,
                   topk_mode=args.topk_mode)
 
+    if args.prune_k >= args.k:
+        print(f"NOTE: prune_k={args.prune_k} >= k={args.k} disables pruning "
+              f"(sampler clamps it to None) — cells at this point would be "
+              f"vacuously perfect; pass a smaller --prune_k or larger --k.")
     if not args.matrix:
+        if args.prune_k >= args.k:
+            sys.exit(2)
         cell = run_cell(cap, embeds, order="sequential", ctl=None,
                         prune_k=args.prune_k, **common)
         print(f"caption exact-match: {cell['caption_exact']:.2%}")
@@ -155,6 +161,13 @@ def main():
     # free + both control energies
     jobs += [("sequential", None, pk, True) for pk in (5, 10, 20)]
     jobs += [("sequential", c, 5, True) for c in ("sentiment", "pos")]
+    # pk >= k would silently run UN-pruned (sampler clamps prune_k to
+    # None) and record vacuously-perfect cells — drop those jobs loudly
+    dropped = [(o, c, pk, fe) for o, c, pk, fe in jobs if pk >= args.k]
+    for o, c, pk, fe in dropped:
+        print(f"SKIP {o}/{c or 'free'}/prune{pk}: prune_k >= k={args.k} "
+              f"(cell would be vacuous)")
+    jobs = [j for j in jobs if j[2] < args.k]
     # approx stage-1 cells get their own key suffix so they never
     # overwrite the exact-top-k cells in a --merge
     suffix = (

@@ -38,10 +38,13 @@ def main():
         ("sequential", 32, 200, 15, 10, None),  # bench headline
     ]
     if not args.quick:
+        # demo default: shuffle, samples_num=2 FUSED -> a B=2 program
+        # (api/demo.py fuse_samples; the same compiled shape also covers
+        # run.py's default batch_size=2 shuffle run); B=1 would warm a
+        # shape no default CLI compiles
         configs += [
-            ("shuffle", 1, 200, 10, 10, None),      # demo default caption
-            ("shuffle", 1, 200, 10, 10, "sentiment"),  # demo default control
-            ("sequential", 2, 200, 10, 10, None),   # run.py default
+            ("shuffle", 2, 200, 10, 10, None),       # demo/run default
+            ("shuffle", 2, 200, 10, 10, "sentiment"),  # demo default ctl
         ]
     for order, B, k, iters, L, ctl in configs:
         emb = jnp.asarray(np.zeros((B, D), np.float32))
