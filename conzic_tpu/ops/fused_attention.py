@@ -23,6 +23,41 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 
+def masked_softmax_core(q, k, v, lens, *, num_heads: int, causal: bool,
+                        scale: float):
+    """Shared kernel core for every fused-attention variant: projected
+    ``q (G*H, Sq, D)``, ``k/v (G*H, Sk, D)``, ``lens (G, 1)`` key-padding
+    lengths -> fp32 attention output ``(G*H, Sq, D)``. Rectangular causal
+    offset ``Sk - Sq`` (shared-prefix suffix attention; square reduces to
+    ``col <= row``). One definition so a masking fix applies everywhere
+    (this file's two kernels + fused_attn_block)."""
+    GH, Sq, D = q.shape
+    Sk = k.shape[1]
+    H = num_heads
+    G = GH // H
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (G*H, Sq, Sk)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
+    if causal:
+        logits = jnp.where((col <= row + (Sk - Sq))[None, :, :], logits,
+                           NEG_INF)
+    # key padding: keys at index >= lens[g] masked for every head of g
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Sk), 1)
+    keep = key_idx < lens  # (G, Sk)
+    keep = jnp.repeat(keep[:, None, :], H, axis=1).reshape(GH, 1, Sk)
+    logits = jnp.where(keep, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    return jax.lax.dot_general(
+        w, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G*H, Sq, D) fp32
+
+
 def _kernel(q_ref, k_ref, v_ref, lens_ref, o_ref, *, causal: bool,
             scale: float):
     G, Sq, H, D = q_ref.shape
@@ -31,31 +66,8 @@ def _kernel(q_ref, k_ref, v_ref, lens_ref, o_ref, *, causal: bool,
     q = jnp.transpose(q_ref[:], (0, 2, 1, 3)).reshape(G * H, Sq, D)
     k = jnp.transpose(k_ref[:], (0, 2, 1, 3)).reshape(G * H, Sk, D)
     v = jnp.transpose(v_ref[:], (0, 2, 1, 3)).reshape(G * H, Sk, D)
-    logits = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (G*H, Sq, Sk)
-    logits = logits * scale
-    row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
-    if causal:
-        # rectangular: query i sits at absolute position i + (Sk - Sq)
-        # (shared-prefix suffix attention); square reduces to col <= row
-        logits = jnp.where((col <= row + (Sk - Sq))[None, :, :], logits,
-                           NEG_INF)
-    # key padding: keys at index >= lens[g] masked for every head of g
-    lens = lens_ref[:]  # (G, 1) int32
-    key_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Sk), 1)
-    keep = key_idx < lens  # (G, Sk)
-    keep = jnp.repeat(keep[:, None, :], H, axis=1).reshape(G * H, 1, Sk)
-    logits = jnp.where(keep, logits, NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-    out = jax.lax.dot_general(
-        w, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (G*H, Sq, D)
+    out = masked_softmax_core(q, k, v, lens_ref[:], num_heads=H,
+                              causal=causal, scale=scale)
     out = out.reshape(G, H, Sq, D).transpose(0, 2, 1, 3)
     o_ref[:] = out.astype(o_ref.dtype)
 
@@ -129,27 +141,8 @@ def _kernel_with_out(q_ref, k_ref, v_ref, lens_ref, wo_ref, bo_ref, o_ref,
     q = jnp.transpose(q_ref[:], (0, 2, 1, 3)).reshape(G * H, Sq, D)
     k = jnp.transpose(k_ref[:], (0, 2, 1, 3)).reshape(G * H, Sk, D)
     v = jnp.transpose(v_ref[:], (0, 2, 1, 3)).reshape(G * H, Sk, D)
-    logits = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    row = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (Sq, Sk), 1)
-    if causal:
-        logits = jnp.where((col <= row + (Sk - Sq))[None, :, :], logits,
-                           NEG_INF)
-    lens = lens_ref[:]  # (G, 1)
-    key_idx = jax.lax.broadcasted_iota(jnp.int32, (G, Sk), 1)
-    keep = key_idx < lens
-    keep = jnp.repeat(keep[:, None, :], H, axis=1).reshape(G * H, 1, Sk)
-    logits = jnp.where(keep, logits, NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-    out = jax.lax.dot_general(
-        w, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(v.dtype)  # (G*H, Sq, D)
+    out = masked_softmax_core(q, k, v, lens_ref[:], num_heads=H,
+                              causal=causal, scale=scale).astype(v.dtype)
     out4 = out.reshape(G, H, Sq, D)
     y = jnp.zeros((G, Sq, E), jnp.float32) + bo_ref[:].astype(jnp.float32)
     for h in range(H):

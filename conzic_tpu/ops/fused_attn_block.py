@@ -21,7 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-NEG_INF = -1e9
+from conzic_tpu.ops.fused_attention import masked_softmax_core
 
 
 def _kernel(x_ref, res_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
@@ -41,24 +41,8 @@ def _kernel(x_ref, res_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     k = proj(wk_ref, bk_ref)
     v = proj(wv_ref, bv_ref)
 
-    logits = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # (G*H, S, S)
-    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    if causal:
-        logits = jnp.where((col <= row)[None, :, :], logits, NEG_INF)
-    lens = lens_ref[:]  # (G, 1)
-    key_idx = jax.lax.broadcasted_iota(jnp.int32, (G, S), 1)
-    keep = key_idx < lens
-    keep = jnp.repeat(keep[:, None, :], heads, axis=1).reshape(G * heads, 1, S)
-    logits = jnp.where(keep, logits, NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(x.dtype)
-    ctx = jax.lax.dot_general(
-        w, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # (G*H, S, D)
+    ctx = masked_softmax_core(q, k, v, lens_ref[:], num_heads=heads,
+                              causal=causal, scale=scale)  # (G*H, S, D)
     ctx = (
         ctx.astype(x.dtype)
         .reshape(G, heads, S, D)

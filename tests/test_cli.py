@@ -395,3 +395,26 @@ def test_prefetch_map_order_and_errors():
         for v in prefetch_map(boom, range(10)):
             out.append(v)
     assert out == [0, 1, 2]
+
+
+def test_prefetch_map_abandoned_consumer_releases_worker():
+    """Closing/abandoning the generator must unblock the worker thread
+    (it previously sat forever on the full queue, leaking the thread and
+    a decoded image batch per abandonment)."""
+    import threading
+    import time as _time
+
+    from conzic_tpu.runtime.prefetch import prefetch_map
+
+    before = {t.ident for t in threading.enumerate()}
+    gen = prefetch_map(lambda x: x, range(100))
+    assert next(gen) == 0
+    gen.close()  # triggers the generator's finally -> stop event
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        _time.sleep(0.05)
+    assert not extra, f"prefetch worker leaked: {extra}"
