@@ -154,3 +154,29 @@ def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
     # a different recall must NOT match the 0.95 approx cell
     err = _gate_stderr(bench_mod, capsys, prune=5, mode="approx", recall=0.9)
     assert "no cell" in err and "prune_k=5+approx0.9" in err
+
+
+def test_committed_matrix_keys_parse():
+    """Every cell key in the COMMITTED PRUNING_MATRIX.json must follow the
+    grammar bench.py's gate matches — a typo'd key would silently un-gate
+    its operating point (the gate would report 'no cell ... unmeasured')."""
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PRUNING_MATRIX.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed matrix")
+    with open(path) as f:
+        matrix = json.load(f)
+    pat = re.compile(
+        r"^(sequential|shuffle|span|random|parallel)/"
+        r"(free|sentiment|pos)/prune\d+"
+        r"(\+approx0\.\d+)?(\+final_exact)?"
+        r"(@n\d+)?(@len\d+)?(@s\d+)?$"
+    )
+    bad = [k for k in matrix["cells"] if not pat.match(k)]
+    assert not bad, bad
+    # and every cell carries the gate's metric
+    missing = [k for k, c in matrix["cells"].items()
+               if "best_cosine_delta" not in c]
+    assert not missing, missing
