@@ -120,6 +120,7 @@ def prune_proxy_scores(
     cand_ids: jax.Array,
     image_embeds: jax.Array,
     seq_len: int,
+    exclude_slot: bool = True,
 ) -> jax.Array:
     """Stage-1 pruning proxy: cos(image, normalize(bag(base words minus the
     edited slot) + w[cand])).
@@ -137,8 +138,14 @@ def prune_proxy_scores(
     image_embeds: (B, D). Returns (B, K) proxy cosines.
     """
     base_bag = jnp.sum(word_embeds[base_ids[:, 1 : seq_len - 1]], axis=1)
-    old_at_slot = jnp.take_along_axis(base_ids, col[:, None], axis=1)
-    base_bag = base_bag - word_embeds[old_at_slot[:, 0]]
+    if exclude_slot:
+        # callers whose base row is MASKED at the slot may pass
+        # exclude_slot=False as a compile-time optimization: the [MASK]
+        # embedding is exact 0, so the subtraction is a byte-level no-op
+        # there and skipping it keeps the hot pruned path's HLO free of
+        # the extra gather+subtract (fusion-preservation lesson)
+        old_at_slot = jnp.take_along_axis(base_ids, col[:, None], axis=1)
+        base_bag = base_bag - word_embeds[old_at_slot[:, 0]]
     cand_vec = base_bag[:, None, :] + word_embeds[cand_ids]  # (B, K, D)
     cand_vec = cand_vec / (
         jnp.linalg.norm(cand_vec, axis=-1, keepdims=True) + 1e-6

@@ -252,10 +252,14 @@ def _position_update(
 
     if spec.prune_k is not None and spec.prune_k < k:
         # stage-1 proxy: cos(image, normalize(bag + w[cand])); slot-
-        # exclusion semantics pinned in energies.prune_proxy_scores
+        # exclusion semantics pinned in energies.prune_proxy_scores.
+        # Only the parallel order's base row is UNMASKED at the edited
+        # slot; every masked order skips the subtraction (exact no-op
+        # there — [MASK] embeds to 0 — and keeps the measured pruned
+        # tiers' HLO byte-identical to the pre-fix program)
         proxy = energies.prune_proxy_scores(
             tables["word_embeds"], base_ids, col, idxs, image_embeds,
-            spec.seq_len,
+            spec.seq_len, exclude_slot=spec.order_kind == "parallel",
         )
         _, keep = jax.lax.top_k(proxy, spec.prune_k)  # (B, k')
         idxs = jnp.take_along_axis(idxs, keep, axis=1)

@@ -346,6 +346,13 @@ def test_prune_proxy_excludes_edited_slot(captioner):
         jnp.asarray(img), S)
     np.testing.assert_allclose(np.asarray(p_unmasked),
                                np.asarray(p_other), atol=1e-5)
+    # for a MASKED base row, skipping the subtraction (the masked-order
+    # compile-time optimization the engine uses) is a byte-level no-op:
+    # [MASK] embeds to exact 0
+    p_skip = energies.prune_proxy_scores(
+        we, jnp.asarray(masked), jnp.asarray(col), jnp.asarray(cands),
+        jnp.asarray(img), S, exclude_slot=False)
+    np.testing.assert_array_equal(np.asarray(p_masked), np.asarray(p_skip))
 
 
 def test_parallel_order_with_pruning_runs(captioner):
