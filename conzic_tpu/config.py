@@ -62,7 +62,10 @@ class ConzicConfig:
     # POS_classifier.py:6-31)
     ctl_mode: str = "table"
     # opt-in NON-parity speed tier: int8 MXU path for the CLIP text tower's
-    # projections/MLPs (the hot candidate scoring) — v5e int8 runs ~2x bf16
+    # projections/MLPs (the hot candidate scoring) — nominal v5e int8 rate
+    # is 2x bf16, but the measured op-level rate on this toolchain is
+    # ~1.47x (ROADMAP r2 s3 isolation microbench); end-to-end re-measure
+    # queued (r3 s6 wiring fix)
     quant: str = "none"  # none | int8
     # opt-in speed tier: pre-select prune_k of the k candidates by the
     # bag-of-word-embeddings proxy before full CLIP scoring (0 = off,
