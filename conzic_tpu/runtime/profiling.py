@@ -67,10 +67,16 @@ def trace(trace_dir: Optional[str] = None) -> Iterator[None]:
 
 @contextlib.contextmanager
 def annotate(name: str) -> Iterator[None]:
+    # only the profiler acquisition is guarded: wrapping the ``yield``
+    # itself in try/except would catch exceptions THROWN INTO the
+    # generator by the annotated body and yield a second time, which
+    # contextlib reports as RuntimeError("generator didn't stop after
+    # throw()") — masking the body's real exception
     try:
         import jax
 
-        with jax.profiler.TraceAnnotation(name):
-            yield
+        ctx = jax.profiler.TraceAnnotation(name)
     except Exception:
+        ctx = contextlib.nullcontext()
+    with ctx:
         yield

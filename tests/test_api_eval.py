@@ -138,6 +138,20 @@ def test_stage_timers_report():
     assert "build" in rep and "run" in rep and "2 call(s)" in rep
 
 
+def test_annotate_reraises_body_exception():
+    """An exception raised INSIDE an annotate() block must propagate
+    unchanged — the old guard yielded a second time on throw, which
+    contextlib converted into RuntimeError('generator didn't stop after
+    throw()'), masking the body's real exception."""
+    import pytest
+
+    from conzic_tpu.runtime.profiling import annotate
+
+    with pytest.raises(ValueError, match="real error"):
+        with annotate("stage"):
+            raise ValueError("real error")
+
+
 def test_compat_shim_reference_signatures(captioner):
     """conzic_tpu.compat mirrors the reference call signatures."""
     import numpy as np
