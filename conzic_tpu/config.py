@@ -65,8 +65,12 @@ class ConzicConfig:
     # projections/MLPs (the hot candidate scoring) — nominal v5e int8 rate
     # is 2x bf16, but the measured op-level rate on this toolchain is
     # ~1.47x (ROADMAP r2 s3 isolation microbench); end-to-end re-measure
-    # queued (r3 s6 wiring fix)
-    quant: str = "none"  # none | int8
+    # queued (r3 s6 wiring fix). "int8_all" additionally quantizes the
+    # BERT proposal encoder (~22% of pruned-tier device time) — changes
+    # WHICH candidates are proposed, not just their scores, so its
+    # quality cells are measured separately (tools/validate_quant.py
+    # --quant int8_all)
+    quant: str = "none"  # none | int8 | int8_all
     # opt-in speed tier: pre-select prune_k of the k candidates by the
     # bag-of-word-embeddings proxy before full CLIP scoring (0 = off,
     # full parity). Quality cells: PRUNING_MATRIX.json.
@@ -138,6 +142,7 @@ class ConzicConfig:
         assert self.run_type in ("caption", "controllable")
         assert self.control_type in ("sentiment", "pos")
         assert self.sentiment_type in ("positive", "negative")
+        assert self.quant in ("none", "int8", "int8_all")
         assert 1 <= self.clip_len <= 77
 
 
@@ -178,9 +183,10 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--param_dtype", type=str, default=d.param_dtype,
                    choices=["bfloat16", "float32"])
     p.add_argument("--quant", type=str, default=d.quant,
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int8_all"],
                    help="int8: quantized candidate scoring (non-parity "
-                        "speed tier, like prune_k)")
+                        "speed tier, like prune_k); int8_all: also "
+                        "quantize the BERT proposal encoder")
     p.add_argument("--prune_k", type=int, default=d.prune_k,
                    help="candidate pre-selection size (0 = full parity); "
                         "speed tier, quality cells in PRUNING_MATRIX.json")

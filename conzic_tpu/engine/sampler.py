@@ -92,6 +92,17 @@ def cast_params_dtype(params, dtype):
     return jax.tree_util.tree_map_with_path(fill, params)
 
 
+def tower_quants(quant: str) -> tuple:
+    """Map the config-level ``quant`` tier onto per-tower modes:
+    "int8" quantizes the CLIP text tower (candidate scoring) only;
+    "int8_all" additionally quantizes the BERT proposal encoder.
+    Returns ``(bert_quant, clip_quant)`` — each "none" or "int8" (the
+    value the TransformerStack understands)."""
+    bert_q = "int8" if quant == "int8_all" else "none"
+    clip_q = "int8" if quant in ("int8", "int8_all") else "none"
+    return bert_q, clip_q
+
+
 @dataclasses.dataclass
 class GenerationResult:
     gen_texts_list: List[List[str]]  # per-iteration captions + best at [-1]
@@ -192,10 +203,11 @@ class Captioner:
         if config.scan_layers:
             bert_params = params_with_scanned_encoders(bert_params)
             clip_params = params_with_scanned_encoders(clip_params)
+        bert_quant, clip_quant = tower_quants(config.quant)
         bert = BertForMaskedLM(bert_cfg, dtype=dtype, attn_impl=config.attn_impl,
-                               scan_layers=config.scan_layers)
+                               scan_layers=config.scan_layers, quant=bert_quant)
         clip = CLIPModel(clip_cfg, dtype=dtype, attn_impl=config.attn_impl,
-                         scan_layers=config.scan_layers, quant=config.quant)
+                         scan_layers=config.scan_layers, quant=clip_quant)
         from conzic_tpu.models.configs import load_hf_config
 
         if load_hf_config(config.lm_model).get("model_type") == "roberta":
@@ -258,11 +270,12 @@ class Captioner:
         )
         if dtype is None:
             dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        bert_quant, clip_quant = tower_quants(config.quant)
         bert = BertForMaskedLM(bert_config, dtype=dtype,
                                attn_impl=config.attn_impl,
-                               scan_layers=scan_layers)
+                               scan_layers=scan_layers, quant=bert_quant)
         clip = CLIPModel(clip_config, dtype=dtype, attn_impl=config.attn_impl,
-                         scan_layers=scan_layers, quant=config.quant)
+                         scan_layers=scan_layers, quant=clip_quant)
         if init_mode == "proper":
             # real linen init (traces a forward): use for small test configs
             # where well-separated output statistics matter

@@ -103,6 +103,11 @@ class BertForMaskedLM(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     scan_layers: bool = False
+    # "int8": encoder projections/MLPs through the int8 MXU path (the
+    # --quant int8_all tier; param shapes unchanged, so fp checkpoints
+    # load as-is). The MLM vocab projection stays full precision — it is
+    # ~2% of the engine's BERT FLOPs (one masked slot per row).
+    quant: str = "none"
 
     def setup(self):
         cfg = self.config
@@ -118,6 +123,7 @@ class BertForMaskedLM(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             scan_layers=self.scan_layers,
+            quant=self.quant,
         )
         self.mlm = BertMlmHead(cfg, dtype=self.dtype)
 

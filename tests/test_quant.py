@@ -37,7 +37,7 @@ def test_int8_generation_runs_and_is_actually_quantized():
         fp program, making every int8 measurement vacuous);
       - cosines stay in a sane range (not NaN/garbage)."""
     runs = {}
-    for quant in ("none", "int8"):
+    for quant in ("none", "int8", "int8_all"):
         cap = Captioner.from_random(
             config=ConzicConfig(dtype="float32", quant=quant),
             init_mode="proper", seed=5,
@@ -56,11 +56,24 @@ def test_int8_generation_runs_and_is_actually_quantized():
         V = cap.wp.vocab_size
         sent = runs[quant].iter_ids[-1][0][cap.seed_len("Image of a"):-1]
         assert all(0 <= t < V for t in sent.tolist()), quant
-    assert np.all(np.isfinite(runs["int8"].best_cos))
-    assert np.all(np.abs(runs["int8"].best_cos) <= 1.0 + 1e-5)
-    # the wiring guard: int8 must CHANGE the computation (tiny-model
-    # noise guarantees a visible difference somewhere in the trajectory)
-    assert not np.array_equal(
-        np.asarray(runs["none"].clip_score_sequence),
-        np.asarray(runs["int8"].clip_score_sequence),
-    )
+    for quant in ("int8", "int8_all"):
+        assert np.all(np.isfinite(runs[quant].best_cos)), quant
+        assert np.all(np.abs(runs[quant].best_cos) <= 1.0 + 1e-5), quant
+    # the wiring guards: each tier must CHANGE the computation (tiny-model
+    # noise guarantees a visible difference somewhere in the trajectory).
+    # quant='int8' once silently built the identical fp program; int8_all
+    # must additionally differ from int8 (the BERT encoder quantization
+    # changes the PROPOSED candidates, not just their scores)
+    for a, b in (("none", "int8"), ("int8", "int8_all")):
+        assert not np.array_equal(
+            np.asarray(runs[a].clip_score_sequence),
+            np.asarray(runs[b].clip_score_sequence),
+        ), (a, b)
+
+
+def test_tower_quants_mapping():
+    from conzic_tpu.engine.sampler import tower_quants
+
+    assert tower_quants("none") == ("none", "none")
+    assert tower_quants("int8") == ("none", "int8")
+    assert tower_quants("int8_all") == ("int8", "int8")

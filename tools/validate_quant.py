@@ -36,6 +36,10 @@ def main():
     p.add_argument("--k", type=int, default=200)
     p.add_argument("--clip_len", type=int, default=24)
     p.add_argument("--order", default="sequential")
+    p.add_argument("--quant", default="int8", choices=["int8", "int8_all"],
+                   help="tier to compare against full precision: int8 = "
+                        "CLIP candidate scoring only; int8_all = also the "
+                        "BERT proposal encoder")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon TPU plugin "
                         "overrides JAX_PLATFORMS; see CLAUDE.md)")
@@ -55,7 +59,7 @@ def main():
 
     runs = {}
     embeds = None
-    for quant in ("none", "int8"):
+    for quant in ("none", args.quant):
         cfg = ConzicConfig()
         cfg.lm_model = args.lm_model
         cfg.match_model = args.match_model
@@ -85,15 +89,16 @@ def main():
             alpha=0.02, beta=2.0, order=args.order,
             rng=np.random.RandomState(42),
         )
-    full, q8 = runs["none"], runs["int8"]
+    full, q8 = runs["none"], runs[args.quant]
     finals_f = full.gen_texts_list[-2]
     finals_q = q8.gen_texts_list[-2]
     exact = float(np.mean([a == b for a, b in zip(finals_f, finals_q)]))
     tok = float((full.iter_ids[-1] == q8.iter_ids[-1]).mean())
     cos_delta = float(np.mean(full.best_cos - q8.best_cos))
+    print(f"tier: {args.quant}")
     print(f"caption exact-match: {exact:.2%}")
     print(f"token agreement:     {tok:.2%}")
-    print(f"best-cosine delta (full - int8): {cos_delta:+.4f}")
+    print(f"best-cosine delta (full - {args.quant}): {cos_delta:+.4f}")
     print(f"speedup: {full.elapsed_s / max(q8.elapsed_s, 1e-9):.2f}x")
 
 
