@@ -249,6 +249,12 @@ def check_prune_quality():
     suffix = f"+approx{TOPK_RECALL:g}" if TOPK_MODE == "approx" else ""
     if PRUNE_FINAL_EXACT:  # hybrid runs gate on the hybrid's (tighter) cell
         suffix += "+final_exact"
+    # quantized runs carry their own quality cells (tools/validate_pruning
+    # --quant): borrowing the fp cell would attribute the fp quality bound
+    # to a program with additional int8 degradation
+    quant = EFFECTIVE.get("quant", QUANT)
+    if quant != "none":
+        suffix += f"+{quant}"
     # anchored to the bench's own operating point (free sequential
     # generation) — an endswith-only match would let shuffle/ctl cells
     # for the same prune/mode point gate (and the last-inserted would
@@ -300,9 +306,12 @@ def check_prune_quality():
 
 
 def main():
+    ours = bench_ours()
+    # gate AFTER the measurement: bench_ours records the EFFECTIVE
+    # operating point (off-TPU drops quant to none), and the gate must
+    # look up the cell for what actually ran, not the env request
     if PRUNE:
         check_prune_quality()
-    ours = bench_ours()
 
     baseline = None
     if os.path.exists(BASELINE_CACHE):

@@ -45,11 +45,13 @@ def bench_mod(tmp_path, monkeypatch):
 
 
 def _gate_stderr(bench, capsys, *, prune, mode="exact", recall=0.95,
-                 final_exact=False):
+                 final_exact=False, quant="none"):
     for name, val in (("PRUNE", prune), ("TOPK_MODE", mode),
                       ("TOPK_RECALL", recall),
-                      ("PRUNE_FINAL_EXACT", final_exact)):
+                      ("PRUNE_FINAL_EXACT", final_exact),
+                      ("QUANT", quant)):
         setattr(bench, name, val)
+    bench.EFFECTIVE.pop("quant", None)  # gate falls back to QUANT
     bench.check_prune_quality()
     return capsys.readouterr().err
 
@@ -148,6 +150,30 @@ def test_gate_is_anchored_to_free_sequential(bench_mod, capsys):
     assert "no cell" in err  # ctl/shuffle cells must not stand in
 
 
+def test_quant_run_never_borrows_the_fp_cell(bench_mod, capsys):
+    # a quantized pruned bench has ADDITIONAL int8 degradation the fp
+    # cell never measured — it must warn "no cell" until a +<tier> cell
+    # exists, then gate on that cell
+    err = _gate_stderr(bench_mod, capsys, prune=5, quant="int8")
+    assert "no cell" in err and "prune_k=5+int8" in err
+    cells = {
+        "sequential/free/prune5": {"best_cosine_delta": 0.004},
+        "sequential/free/prune5+int8": {"best_cosine_delta": 0.02},
+    }
+    path = os.path.join(os.path.dirname(bench_mod.__file__),
+                        "PRUNING_MATRIX.json")
+    with open(path, "w") as f:
+        json.dump({"weights": "synthetic", "cells": cells}, f)
+    err = _gate_stderr(bench_mod, capsys, prune=5, quant="int8")
+    assert "+0.0200" in err and "quality-degraded" in err
+    # the EFFECTIVE operating point wins over the env request: a CPU run
+    # drops quant to none and must gate on the fp cell
+    bench_mod.QUANT = "int8"
+    bench_mod.EFFECTIVE["quant"] = "none"
+    bench_mod.check_prune_quality()
+    assert capsys.readouterr().err == ""
+
+
 def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
     err = _gate_stderr(bench_mod, capsys, prune=7, mode="approx", recall=0.9)
     assert "no cell" in err and "prune_k=7+approx0.9" in err
@@ -171,7 +197,7 @@ def test_committed_matrix_keys_parse():
     pat = re.compile(
         r"^(sequential|shuffle|span|random|parallel)/"
         r"(free|sentiment|pos)/prune\d+"
-        r"(\+approx0\.\d+)?(\+final_exact)?"
+        r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
         r"(@n\d+)?(@len\d+)?(@s\d+)?$"
     )
     bad = [k for k in matrix["cells"] if not pat.match(k)]

@@ -8,7 +8,7 @@ nothing about the approximation). Now the general merge driver for any
 (prune_k, topk_mode, final_exact, n_images) headline-family cell:
 
 - keys: ``sequential/<ctl|free>/prune<k>[+approx<recall>][+final_exact]
-  [@n<N>][@len<L>][@s<seed>]`` (``@n<N>`` marks a non-default sample
+  [+int8|+int8_all][@n<N>][@len<L>][@s<seed>]`` (``@n<N>`` marks a non-default sample
   size — bench.py's gate matches base and ``@n`` keys and prefers
   ``@len`` cells when benching that clip_len; ``@s<seed>`` replication
   cells are informational and never gate).
@@ -52,6 +52,9 @@ def main():
     p.add_argument("--seed", type=int, default=0,
                    help="image-embedding seed; non-default adds an "
                         "@s<seed> key suffix (replication cells)")
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "int8_all"],
+                   help="quantize the PRUNED side (+<tier> key suffix)")
     p.add_argument("--out", default=MATRIX_PATH)
     p.add_argument("--cpu", action="store_true",
                    help="CPU run (vacuous for approx — smoke-testing only)")
@@ -83,6 +86,16 @@ def main():
         cfg, random_models="tiny" if args.cpu else "full"
     )
     cap.cfg.verbose = False
+    cap_pruned = None
+    if args.quant != "none":
+        import dataclasses as _dc
+
+        cfg_q = _dc.replace(cfg, quant=args.quant)
+        cap_pruned = build_captioner(
+            cfg_q, random_models="tiny" if args.cpu else "full"
+        )
+        cap_pruned.cfg.verbose = False
+        cap_pruned.cfg.topk_recall = args.recall
 
     rng = np.random.RandomState(args.seed)  # 0 = the matrix's embeddings
     embeds = jnp.asarray(
@@ -98,12 +111,15 @@ def main():
         cell = run_cell(cap, embeds, order="sequential", ctl=args.ctl,
                         prune_k=pk, sentence_len=10, iters=10, k=200,
                         topk_mode=args.topk_mode,
-                        final_exact=args.final_exact)
+                        final_exact=args.final_exact,
+                        cap_pruned=cap_pruned)
         key = f"sequential/{args.ctl or 'free'}/prune{pk}"
         if args.topk_mode == "approx":
             key += f"+approx{args.recall:g}"
         if args.final_exact:
             key += "+final_exact"
+        if args.quant != "none":
+            key += f"+{args.quant}"
         if args.n_images != 4:
             key += f"@n{args.n_images}"
         if args.clip_len != 24:

@@ -35,7 +35,7 @@ MATRIX_PATH = os.path.join(
 
 
 def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
-             final_exact=False, topk_mode="exact"):
+             final_exact=False, topk_mode="exact", cap_pruned=None):
     """One (order, ctl, prune_k) quality cell. NOTE: the ``speedup``
     column is wall-clock including any first-run compile of a cold spec —
     treat it as informational; caps/s operating points come from bench.py
@@ -44,11 +44,18 @@ def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
     ``topk_mode="approx"`` applies to the PRUNED run only (the sampler
     refuses it without prune_k); the full-parity side always uses the
     exact stage-1 top-k, so the cell measures the combined
-    approx-candidate-set + proxy-pruning quality gap."""
+    approx-candidate-set + proxy-pruning quality gap.
+
+    ``cap_pruned``: optional separate captioner for the pruned side —
+    quantized cells (``--quant``) compare an fp full-parity run against a
+    quantized pruned run, so the cell bounds the COMBINED
+    quant+prune(+approx) gap vs reference semantics. Defaults to ``cap``
+    (same models both sides)."""
     runs = {}
     for name, pk in (("full", None), ("pruned", prune_k)):
-        cap.cfg.topk_mode = topk_mode if pk else "exact"
-        runs[name] = cap.run(
+        c = cap if name == "full" else (cap_pruned or cap)
+        c.cfg.topk_mode = topk_mode if pk else "exact"
+        runs[name] = c.run(
             embeds, prompt="Image of a", max_len=sentence_len,
             top_k=k, temperature=0.1, max_iter=iters,
             alpha=0.02, beta=2.0, gamma=5.0 if ctl else 0.0,
@@ -57,6 +64,8 @@ def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
             prune_final_exact=final_exact and pk is not None,
         )
     cap.cfg.topk_mode = "exact"
+    if cap_pruned is not None:
+        cap_pruned.cfg.topk_mode = "exact"
     full, pruned = runs["full"], runs["pruned"]
     finals_f = full.gen_texts_list[-2]
     finals_p = pruned.gen_texts_list[-2]
@@ -95,6 +104,11 @@ def main():
                    help="stage-1 candidate top-k of the PRUNED run "
                         "(approx = approx_max_k; exact on CPU backends)")
     p.add_argument("--topk_recall", type=float, default=0.95)
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "int8_all"],
+                   help="quantize the PRUNED side (cells gain a +<tier> "
+                        "key suffix; the full-parity side stays fp, so "
+                        "the cell bounds the combined quant+prune gap)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon TPU plugin "
                         "overrides JAX_PLATFORMS; see CLAUDE.md)")
@@ -119,6 +133,17 @@ def main():
     cfg.verbose = False
     cap = build_captioner(cfg, random_models=args.random_models)
     cap.cfg.verbose = False
+    cap_pruned = None
+    if args.quant != "none":
+        # quantized cells: the pruned side runs the quantized program;
+        # deterministic init (and checkpoint loads) give both captioners
+        # identical weights, so the cell isolates the numerics change
+        import dataclasses as _dc
+
+        cfg_q = _dc.replace(cfg, quant=args.quant)
+        cap_pruned = build_captioner(cfg_q, random_models=args.random_models)
+        cap_pruned.cfg.verbose = False
+        cap_pruned.cfg.topk_recall = args.topk_recall
 
     rng = np.random.RandomState(0)
     embeds = jnp.asarray(
@@ -128,7 +153,7 @@ def main():
     )
     cap.cfg.topk_recall = args.topk_recall
     common = dict(sentence_len=args.sentence_len, iters=args.iters, k=args.k,
-                  topk_mode=args.topk_mode)
+                  topk_mode=args.topk_mode, cap_pruned=cap_pruned)
 
     if args.prune_k >= args.k:
         print(f"NOTE: prune_k={args.prune_k} >= k={args.k} disables pruning "
@@ -174,20 +199,21 @@ def main():
         f"+approx{args.topk_recall:g}" if args.topk_mode == "approx" else ""
     )
     # suffix order is the matrix-wide convention: prune<k>[+approx<r>]
-    # [+final_exact] (approx_quality_cells.py and bench.py's gate both
-    # build/match this order — +final_exact+approx would produce keys
-    # the gate never finds and --merge re-runs)
+    # [+final_exact][+int8|+int8_all] (approx_quality_cells.py and
+    # bench.py's gate both build/match this order — +final_exact+approx
+    # would produce keys the gate never finds and --merge re-runs)
+    quant_suffix = f"+{args.quant}" if args.quant != "none" else ""
     if args.merge:
         jobs = [
             (o, c, pk, fe) for o, c, pk, fe in jobs
             if f"{o}/{c or 'free'}/prune{pk}{suffix}"
-               f"{'+final_exact' if fe else ''}"
+               f"{'+final_exact' if fe else ''}{quant_suffix}"
             not in cells
         ]
     for order, ctl, pk, fe in jobs:
         key = f"{order}/{ctl or 'free'}/prune{pk}" + suffix + (
             "+final_exact" if fe else ""
-        )
+        ) + quant_suffix
         print(f"--- {key}", flush=True)
         cell = run_cell(cap, embeds, order=order, ctl=ctl, prune_k=pk,
                         final_exact=fe, **common)
