@@ -114,12 +114,13 @@ def main():
             if smoke else [*models])
     run_step("pruning_matrix", cmd, steps)
 
-    # 3. int8 tier quality
-    cmd = [py, "tools/validate_quant.py", *cpu]
-    cmd += (["--random_models", "tiny", "--iters", "2", "--n_images", "2",
-             "--sentence_len", "5", "--k", "16"]
-            if smoke else [*models])
-    run_step("quant_quality", cmd, steps)
+    # 3. int8 tier quality (both tiers: CLIP-scoring-only and +BERT)
+    for tier in ("int8", "int8_all"):
+        cmd = [py, "tools/validate_quant.py", "--quant", tier, *cpu]
+        cmd += (["--random_models", "tiny", "--iters", "2", "--n_images",
+                 "2", "--sentence_len", "5", "--k", "16"]
+                if smoke else [*models])
+        run_step(f"quant_quality_{tier}", cmd, steps)
 
     # 4. demo captions over the shipped examples (human-checkable output)
     demo_cmd = [py, "-m", "conzic_tpu.api.demo", "--run_type", "caption",
