@@ -67,6 +67,36 @@ BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json
 # the metric label
 EFFECTIVE: dict = {}
 PROMPT = "Image of a"
+# backend-init/compile watchdog: when the axon TPU plugin's backend is
+# unreachable, jax.devices() hangs INDEFINITELY (observed r3 s6/s7
+# outage) and a driver-run bench would never return. Generous default —
+# cold remote compiles are ~4-6 min per shape and a cold full bench can
+# chain a few; 0 disables.
+INIT_TIMEOUT_S = float(os.environ.get("CONZIC_BENCH_INIT_TIMEOUT", "2400"))
+
+
+def _arm_watchdog():
+    if INIT_TIMEOUT_S <= 0:
+        return lambda: None
+    import threading
+
+    done = threading.Event()
+
+    def bark():
+        if done.wait(INIT_TIMEOUT_S):
+            return
+        print(
+            f"FATAL: bench exceeded CONZIC_BENCH_INIT_TIMEOUT="
+            f"{INIT_TIMEOUT_S:.0f}s before producing a measurement — "
+            "the TPU backend is likely unreachable (backend init hangs "
+            "rather than erroring when the axon tunnel is down). "
+            "No JSON line is emitted: there is no valid number.",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(3)
+
+    threading.Thread(target=bark, daemon=True).start()
+    return done.set
 
 
 def build_captioner():
@@ -306,7 +336,10 @@ def check_prune_quality():
 
 
 def main():
+    disarm = _arm_watchdog()
     ours = bench_ours()
+    disarm()  # measurement in hand; the slow torch baseline (if any)
+    # and the JSON print must not be cut off
     # gate AFTER the measurement: bench_ours records the EFFECTIVE
     # operating point (off-TPU drops quant to none), and the gate must
     # look up the cell for what actually ran, not the env request
