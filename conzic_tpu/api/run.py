@@ -113,11 +113,16 @@ def main(argv=None):
 
     image_size = captioner.clip_model.config.vision.image_size
 
+    from conzic_tpu.runtime.profiling import annotate
+
     def host_pipeline(batch):
         # decode+resize+normalize on the prefetch thread: overlaps the
-        # previous batch's device generation (runtime/prefetch.py)
+        # previous batch's device generation (runtime/prefetch.py);
+        # annotated so a CONZIC_TRACE_DIR capture shows the host stage
+        # riding alongside the device timeline
         imgs, names = batch
-        return preprocess_batch_pil(imgs, image_size), names
+        with annotate("host:preprocess"):
+            return preprocess_batch_pil(imgs, image_size), names
 
     for sample_id in range(cfg.samples_num):
         all_results = [None] * (cfg.num_iterations + 1)
