@@ -17,6 +17,7 @@ from typing import Callable, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from conzic_tpu.ops.attention import dot_product_attention
 
@@ -86,16 +87,32 @@ class LayerNorm(nn.Module):
 class _DGParams(nn.Module):
     """Parameter holder matching nn.DenseGeneral's tree ({kernel, bias}) so
     the fused-block kernel can consume raw weights with unchanged
-    checkpoint-conversion naming."""
+    checkpoint-conversion naming.
+
+    Init matches DenseGeneral EXACTLY: its kernel_init_wrap draws on the
+    flattened (prod(in dims), prod(feature dims)) 2-D shape and reshapes —
+    drawing directly on the n-D shape would give a different fan AND a
+    different stream, so a proper-init random model would silently differ
+    between the quant/pallas_block paths and the standard path
+    (tests/test_quant.py::test_quant_param_trees_identical_to_fp)."""
 
     kernel_shape: tuple
     bias_shape: tuple
 
     @nn.compact
     def __call__(self):
+        n_out = len(self.bias_shape)
+        flat_shape = (
+            int(np.prod(self.kernel_shape[:-n_out], dtype=np.int64)),
+            int(np.prod(self.kernel_shape[-n_out:], dtype=np.int64)),
+        )
+
+        def kernel_init(rng, shape, dtype=jnp.float32):
+            flat = nn.initializers.lecun_normal()(rng, flat_shape, dtype)
+            return jnp.reshape(flat, shape)
+
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), self.kernel_shape,
-            jnp.float32,
+            "kernel", kernel_init, self.kernel_shape, jnp.float32,
         )
         bias = self.param(
             "bias", nn.initializers.zeros, self.bias_shape, jnp.float32

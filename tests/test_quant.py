@@ -59,16 +59,54 @@ def test_int8_generation_runs_and_is_actually_quantized():
     for quant in ("int8", "int8_all"):
         assert np.all(np.isfinite(runs[quant].best_cos)), quant
         assert np.all(np.abs(runs[quant].best_cos) <= 1.0 + 1e-5), quant
-    # the wiring guards: each tier must CHANGE the computation (tiny-model
-    # noise guarantees a visible difference somewhere in the trajectory).
-    # quant='int8' once silently built the identical fp program; int8_all
-    # must additionally differ from int8 (the BERT encoder quantization
-    # changes the PROPOSED candidates, not just their scores)
-    for a, b in (("none", "int8"), ("int8", "int8_all")):
-        assert not np.array_equal(
-            np.asarray(runs[a].clip_score_sequence),
-            np.asarray(runs[b].clip_score_sequence),
-        ), (a, b)
+    # the trajectory-level wiring guard: quant='int8' once silently built
+    # the identical fp program, making every int8 measurement vacuous
+    # (tiny-model noise guarantees a visible difference somewhere)
+    assert not np.array_equal(
+        np.asarray(runs["none"].clip_score_sequence),
+        np.asarray(runs["int8"].clip_score_sequence),
+    )
+
+
+def test_quant_tiers_change_the_right_towers():
+    """Structural wiring guard per tower (trajectory equality is
+    luck-dependent at tiny scale — the committed argmax can survive
+    quantization noise): int8 must change the CLIP text embeddings and
+    leave BERT untouched; int8_all must change BERT too."""
+    caps = {
+        quant: Captioner.from_random(
+            config=ConzicConfig(dtype="float32", quant=quant),
+            init_mode="proper", seed=5,
+        )
+        for quant in ("none", "int8", "int8_all")
+    }
+    ids = jnp.asarray(np.arange(8, dtype=np.int32)[None, :] + 3)
+
+    def bert_logits(cap):
+        return np.asarray(
+            cap.bert_model.apply({"params": cap.params["bert"]}, ids)
+        )
+
+    def clip_text(cap):
+        from conzic_tpu.models.clip import CLIPModel
+
+        return np.asarray(cap.clip_model.apply(
+            {"params": cap.params["clip"]}, ids,
+            method=CLIPModel.encode_text,
+        ))
+
+    # identical weights (test_quant_param_trees_identical_to_fp), so any
+    # output difference is the quantized compute path
+    assert not np.array_equal(clip_text(caps["none"]), clip_text(caps["int8"]))
+    np.testing.assert_array_equal(
+        bert_logits(caps["none"]), bert_logits(caps["int8"])
+    )
+    assert not np.array_equal(
+        bert_logits(caps["none"]), bert_logits(caps["int8_all"])
+    )
+    assert not np.array_equal(
+        clip_text(caps["none"]), clip_text(caps["int8_all"])
+    )
 
 
 def test_tower_quants_mapping():
@@ -77,3 +115,22 @@ def test_tower_quants_mapping():
     assert tower_quants("none") == ("none", "none")
     assert tower_quants("int8") == ("none", "int8")
     assert tower_quants("int8_all") == ("int8", "int8")
+
+
+def test_quant_param_trees_identical_to_fp():
+    """Quantization happens INSIDE the program (ops/quant.py): the param
+    tree must be byte-identical across tiers — that is what makes fp
+    checkpoints load unchanged into a quantized captioner and lets the
+    quality tools compare same-weights captioners."""
+    trees = {}
+    for quant in ("none", "int8_all"):
+        cap = Captioner.from_random(
+            config=ConzicConfig(dtype="float32", quant=quant),
+            init_mode="proper", seed=5,
+        )
+        trees[quant] = jax.tree_util.tree_map(np.asarray, cap.params)
+    flat_fp, treedef_fp = jax.tree_util.tree_flatten(trees["none"])
+    flat_q, treedef_q = jax.tree_util.tree_flatten(trees["int8_all"])
+    assert treedef_fp == treedef_q
+    for a, b in zip(flat_fp, flat_q):
+        np.testing.assert_array_equal(a, b)
