@@ -41,6 +41,14 @@ run python tools/approx_quality_cells.py --prune_k 3 --recall 0.90 \
     --quant int8_all --n_images 16
 run python tools/approx_quality_cells.py --prune_k 5 --recall 0.95 \
     --quant int8_all --n_images 16
+#    controlled-mode cells at the prune3 operating point (the fp ctl
+#    cells exist only at prune5 — stage-1 pruning ignores the gamma=5
+#    control term entirely, so the aggressive prune3 point needs its own
+#    ctl quality evidence before anyone quotes it for controlled runs)
+run python tools/approx_quality_cells.py --prune_k 3 --recall 0.90 \
+    --ctl pos --n_images 16
+run python tools/approx_quality_cells.py --prune_k 3 --recall 0.90 \
+    --ctl sentiment --n_images 16
 
 # 5. the parked prune3/B=512 flag-sweep copy-share probe (r3 s6)
 run python tools/flag_sweep.py --prune 3 --topk_mode approx --recall 0.90 \
