@@ -60,6 +60,20 @@ def test_prefix_kv_matches_full_encode(order):
     )
 
 
+def test_prefix_kv_matches_full_encode_under_int8():
+    """The prefix-KV equivalence must survive quantization: activation
+    scales are per TOKEN VECTOR (ops/quant._quantize_rows, amax over the
+    feature axis), so identical prefix tokens quantize identically
+    whether encoded once at batch width or per candidate row."""
+    base = _generate(_make_captioner(kv_chunk_size=0, quant="int8"))
+    pref = _generate(_make_captioner(kv_chunk_size=2, quant="int8"))
+    assert base.gen_texts_list == pref.gen_texts_list
+    np.testing.assert_array_equal(base.iter_ids, pref.iter_ids)
+    np.testing.assert_allclose(
+        base.best_cos, pref.best_cos, rtol=0, atol=5e-6
+    )
+
+
 def test_prefix_chunks_static_shape():
     """Sequential chunks cover all steps with nondecreasing prefix bounds
     starting at 1 + prompt pieces."""
