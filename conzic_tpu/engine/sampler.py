@@ -232,7 +232,7 @@ class Captioner:
         wp_vocab: Optional[dict] = None,
         clip_text_vocab_size: Optional[int] = None,
         init_mode: str = "fast",
-        scan_layers: bool = False,
+        scan_layers: Optional[bool] = None,
     ) -> "Captioner":
         """Deterministic random-init models over synthetic vocabularies —
         the no-download path used by tests, dry-runs and throughput
@@ -241,6 +241,15 @@ class Captioner:
         import tempfile
 
         config = config or ConzicConfig()
+        # the arg and config flag MUST agree: the models are built from
+        # the arg while the engine's prefix-KV/pooled-readout guards key
+        # on cfg.scan_layers — a split (scanned models, unscanned cfg)
+        # crashes on the stack's internal assertion, and the reverse
+        # silently tests unrolled stacks under a scanned label
+        if scan_layers is None:
+            scan_layers = config.scan_layers
+        else:
+            config.scan_layers = scan_layers
         tmpdir = tmpdir or tempfile.mkdtemp(prefix="conzic_vocab_")
         os.makedirs(tmpdir, exist_ok=True)
         vocab = wp_vocab or make_test_wordpiece_vocab()
