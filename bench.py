@@ -76,7 +76,10 @@ INIT_TIMEOUT_S = float(os.environ.get("CONZIC_BENCH_INIT_TIMEOUT", "2400"))
 
 
 def _arm_watchdog():
-    if INIT_TIMEOUT_S <= 0:
+    # the hang this defends against is axon-backend init; a forced-CPU
+    # run cannot hit it, and a full-model CPU bench legitimately takes
+    # hours — arming there would kill it with a misleading diagnosis
+    if INIT_TIMEOUT_S <= 0 or os.environ.get("CONZIC_BENCH_CPU") == "1":
         return lambda: None
     import threading
 
@@ -275,7 +278,11 @@ def check_prune_quality():
         matrix = json.load(f)
     cells = matrix.get("cells", {})
     # the cell for THIS operating point (mode-aware: approx stage-1 cells
-    # carry a +approx<recall> suffix and are measured on-TPU)
+    # carry a +approx<recall> suffix and are measured on-TPU).
+    # NOTE: this is bench's standalone copy of the key grammar — the
+    # producers build keys via tools/validate_pruning.cell_key, and
+    # tests/test_bench_gate.py cross-pins both against one regex; keep
+    # the suffix ORDER in sync with cell_key when extending
     suffix = f"+approx{TOPK_RECALL:g}" if TOPK_MODE == "approx" else ""
     if PRUNE_FINAL_EXACT:  # hybrid runs gate on the hybrid's (tighter) cell
         suffix += "+final_exact"

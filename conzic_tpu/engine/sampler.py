@@ -97,7 +97,16 @@ def tower_quants(quant: str) -> tuple:
     "int8" quantizes the CLIP text tower (candidate scoring) only;
     "int8_all" additionally quantizes the BERT proposal encoder.
     Returns ``(bert_quant, clip_quant)`` — each "none" or "int8" (the
-    value the TransformerStack understands)."""
+    value the TransformerStack understands).
+
+    Raises on unknown tiers: callers that MUTATE cfg.quant (bench.py's
+    env knob) bypass config validation, and silently mapping a typo'd
+    tier to full precision would bench the fp program under a quant
+    label — exactly the vacuous-measurement failure the r2 int8 wiring
+    bug already caused once."""
+    if quant not in ("none", "int8", "int8_all"):
+        raise ValueError(f"unknown quant tier {quant!r} "
+                         "(expected none | int8 | int8_all)")
     bert_q = "int8" if quant == "int8_all" else "none"
     clip_q = "int8" if quant in ("int8", "int8_all") else "none"
     return bert_q, clip_q

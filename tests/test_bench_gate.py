@@ -182,6 +182,39 @@ def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
     assert "no cell" in err and "prune_k=5+approx0.9" in err
 
 
+def test_cell_key_builder_matches_the_gate_grammar():
+    """The producers build keys via tools/validate_pruning.cell_key;
+    bench's gate matches its own standalone copy of the grammar. Pin the
+    builder's output against the same regex the committed matrix is
+    pinned to, across every suffix dimension."""
+    import itertools
+    import re
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from validate_pruning import cell_key
+
+    pat = re.compile(
+        r"^(sequential|shuffle|span|random|parallel)/"
+        r"(free|sentiment|pos)/prune\d+"
+        r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
+        r"(@n\d+)?(@len\d+)?(@s\d+)?$"
+    )
+    for mode, fe, quant, n, ln, seed in itertools.product(
+        ("exact", "approx"), (False, True), ("none", "int8", "int8_all"),
+        (4, 16), (24, 77), (0, 1),
+    ):
+        key = cell_key(ctl="pos", prune_k=5, topk_mode=mode, recall=0.9,
+                       final_exact=fe, quant=quant, n_images=n,
+                       clip_len=ln, seed=seed)
+        assert pat.match(key), key
+    # and the exact strings bench's gate builds for its lookups
+    assert cell_key(prune_k=5) == "sequential/free/prune5"
+    assert cell_key(prune_k=5, topk_mode="approx", recall=0.95,
+                    final_exact=True, quant="int8_all") == \
+        "sequential/free/prune5+approx0.95+final_exact+int8_all"
+
+
 def test_committed_matrix_keys_parse():
     """Every cell key in the COMMITTED PRUNING_MATRIX.json must follow the
     grammar bench.py's gate matches — a typo'd key would silently un-gate

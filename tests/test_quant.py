@@ -115,6 +115,11 @@ def test_tower_quants_mapping():
     assert tower_quants("none") == ("none", "none")
     assert tower_quants("int8") == ("none", "int8")
     assert tower_quants("int8_all") == ("int8", "int8")
+    # bench.py MUTATES cfg.quant from an env knob, bypassing config
+    # validation — a typo'd tier must raise, not silently bench the fp
+    # program under a quant label
+    with pytest.raises(ValueError, match="unknown quant tier"):
+        tower_quants("int8all")
 
 
 def test_quant_param_trees_identical_to_fp():

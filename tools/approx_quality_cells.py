@@ -30,7 +30,12 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from validate_pruning import MATRIX_PATH, run_cell  # noqa: E402
+from validate_pruning import (  # noqa: E402
+    MATRIX_PATH,
+    build_quant_captioner,
+    cell_key,
+    run_cell,
+)
 
 
 def main():
@@ -88,14 +93,10 @@ def main():
     cap.cfg.verbose = False
     cap_pruned = None
     if args.quant != "none":
-        import dataclasses as _dc
-
-        cfg_q = _dc.replace(cfg, quant=args.quant)
-        cap_pruned = build_captioner(
-            cfg_q, random_models="tiny" if args.cpu else "full"
+        cap_pruned = build_quant_captioner(
+            cfg, args.quant, args.recall,
+            "tiny" if args.cpu else "full",
         )
-        cap_pruned.cfg.verbose = False
-        cap_pruned.cfg.topk_recall = args.recall
 
     rng = np.random.RandomState(args.seed)  # 0 = the matrix's embeddings
     embeds = jnp.asarray(
@@ -113,19 +114,10 @@ def main():
                         topk_mode=args.topk_mode,
                         final_exact=args.final_exact,
                         cap_pruned=cap_pruned)
-        key = f"sequential/{args.ctl or 'free'}/prune{pk}"
-        if args.topk_mode == "approx":
-            key += f"+approx{args.recall:g}"
-        if args.final_exact:
-            key += "+final_exact"
-        if args.quant != "none":
-            key += f"+{args.quant}"
-        if args.n_images != 4:
-            key += f"@n{args.n_images}"
-        if args.clip_len != 24:
-            key += f"@len{args.clip_len}"
-        if args.seed != 0:
-            key += f"@s{args.seed}"
+        key = cell_key(ctl=args.ctl, prune_k=pk, topk_mode=args.topk_mode,
+                       recall=args.recall, final_exact=args.final_exact,
+                       quant=args.quant, n_images=args.n_images,
+                       clip_len=args.clip_len, seed=args.seed)
         if args.cpu:
             key += "+CPU-SMOKE"
         print(key, json.dumps(cell))

@@ -34,6 +34,48 @@ MATRIX_PATH = os.path.join(
 )
 
 
+def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
+             recall=0.95, final_exact=False, quant="none",
+             n_images=4, clip_len=24, seed=0) -> str:
+    """THE matrix cell-key grammar, in one place:
+    ``order/<ctl|free>/prune<k>[+approx<recall>][+final_exact]
+    [+int8|+int8_all][@n<N>][@len<L>][@s<seed>]``. bench.py's gate
+    matches this order (its standalone copy is comment-linked here) and
+    tests/test_bench_gate.py pins the committed matrix against the same
+    regex — hand-assembled keys drift (commit b0b28ba: typos silently
+    un-gate operating points), so every producer builds keys HERE."""
+    key = f"{order}/{ctl or 'free'}/prune{prune_k}"
+    if topk_mode == "approx":
+        key += f"+approx{recall:g}"
+    if final_exact:
+        key += "+final_exact"
+    if quant != "none":
+        key += f"+{quant}"
+    if n_images != 4:
+        key += f"@n{n_images}"
+    if clip_len != 24:
+        key += f"@len{clip_len}"
+    if seed != 0:
+        key += f"@s{seed}"
+    return key
+
+
+def build_quant_captioner(cfg, quant, recall, random_models):
+    """The pruned-side captioner for quantized cells: same config (and —
+    via deterministic init / checkpoint loads — identical weights) with
+    the quantized compute path baked in at model construction."""
+    import dataclasses
+
+    from conzic_tpu.api.demo import build_captioner
+
+    cap_q = build_captioner(
+        dataclasses.replace(cfg, quant=quant), random_models=random_models
+    )
+    cap_q.cfg.verbose = False
+    cap_q.cfg.topk_recall = recall
+    return cap_q
+
+
 def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
              final_exact=False, topk_mode="exact", cap_pruned=None):
     """One (order, ctl, prune_k) quality cell. NOTE: the ``speedup``
@@ -135,15 +177,9 @@ def main():
     cap.cfg.verbose = False
     cap_pruned = None
     if args.quant != "none":
-        # quantized cells: the pruned side runs the quantized program;
-        # deterministic init (and checkpoint loads) give both captioners
-        # identical weights, so the cell isolates the numerics change
-        import dataclasses as _dc
-
-        cfg_q = _dc.replace(cfg, quant=args.quant)
-        cap_pruned = build_captioner(cfg_q, random_models=args.random_models)
-        cap_pruned.cfg.verbose = False
-        cap_pruned.cfg.topk_recall = args.topk_recall
+        cap_pruned = build_quant_captioner(
+            cfg, args.quant, args.topk_recall, args.random_models
+        )
 
     rng = np.random.RandomState(0)
     embeds = jnp.asarray(
@@ -193,27 +229,20 @@ def main():
         print(f"SKIP {o}/{c or 'free'}/prune{pk}: prune_k >= k={args.k} "
               f"(cell would be vacuous)")
     jobs = [j for j in jobs if j[2] < args.k]
-    # approx stage-1 cells get their own key suffix so they never
-    # overwrite the exact-top-k cells in a --merge
-    suffix = (
-        f"+approx{args.topk_recall:g}" if args.topk_mode == "approx" else ""
-    )
-    # suffix order is the matrix-wide convention: prune<k>[+approx<r>]
-    # [+final_exact][+int8|+int8_all] (approx_quality_cells.py and
-    # bench.py's gate both build/match this order — +final_exact+approx
-    # would produce keys the gate never finds and --merge re-runs)
-    quant_suffix = f"+{args.quant}" if args.quant != "none" else ""
+    # every producer builds keys via cell_key() — see its docstring for
+    # the grammar and the drift hazard it pins down. NOTE matrix mode
+    # deliberately writes UNSUFFIXED @n/@len/@s keys (its n_images etc.
+    # are the matrix-wide config recorded in the artifact header), so
+    # those dimensions stay at cell_key's defaults here
+    def job_key(o, c, pk, fe):
+        return cell_key(order=o, ctl=c, prune_k=pk,
+                        topk_mode=args.topk_mode, recall=args.topk_recall,
+                        final_exact=fe, quant=args.quant)
+
     if args.merge:
-        jobs = [
-            (o, c, pk, fe) for o, c, pk, fe in jobs
-            if f"{o}/{c or 'free'}/prune{pk}{suffix}"
-               f"{'+final_exact' if fe else ''}{quant_suffix}"
-            not in cells
-        ]
+        jobs = [j for j in jobs if job_key(*j) not in cells]
     for order, ctl, pk, fe in jobs:
-        key = f"{order}/{ctl or 'free'}/prune{pk}" + suffix + (
-            "+final_exact" if fe else ""
-        ) + quant_suffix
+        key = job_key(order, ctl, pk, fe)
         print(f"--- {key}", flush=True)
         cell = run_cell(cap, embeds, order=order, ctl=ctl, prune_k=pk,
                         final_exact=fe, **common)
