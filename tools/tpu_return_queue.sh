@@ -50,9 +50,24 @@ run python tools/approx_quality_cells.py --prune_k 3 --recall 0.90 \
 run python tools/approx_quality_cells.py --prune_k 3 --recall 0.90 \
     --ctl sentiment --n_images 16
 
+# 4b. quant-tier attribution on the pruned ladder: CLIP-only int8 at the
+#     same stacked point (separates the CLIP-tower vs BERT-tower
+#     contributions of step 3's int8_all number), and int8_all at the
+#     milder prune5/approx0.95/B=256 point (the 62.9 caps/s fp cell) to
+#     see whether the quant win survives a larger stage-2 share
+run env CONZIC_BENCH_QUANT=int8 CONZIC_BENCH_PRUNE=3 \
+    CONZIC_BENCH_TOPK_MODE=approx CONZIC_BENCH_TOPK_RECALL=0.90 \
+    CONZIC_BENCH_BATCH=512 python bench.py
+run env CONZIC_BENCH_QUANT=int8_all CONZIC_BENCH_PRUNE=5 \
+    CONZIC_BENCH_TOPK_MODE=approx CONZIC_BENCH_TOPK_RECALL=0.95 \
+    CONZIC_BENCH_BATCH=256 python bench.py
+
 # 5. the parked prune3/B=512 flag-sweep copy-share probe (r3 s6)
 run python tools/flag_sweep.py --prune 3 --topk_mode approx --recall 0.90 \
     --batch 512 --only winner,base,winner_lhs,winner_async,vmem64_no_dsr,mbl_off
+
+# 6. headline stability re-check after everything (warm cache: seconds)
+run python bench.py
 
 echo "queue complete — fold numbers into BASELINE.md / ROADMAP.md and" \
      "commit PRUNING_MATRIX.json" | tee -a "$LOG"
