@@ -52,6 +52,8 @@ TOPK_CHUNK = int(os.environ.get("CONZIC_BENCH_TOPK_CHUNK", "2048"))
 # pruned-tier-only: "approx" = approx_max_k stage-1 candidate top-k
 TOPK_MODE = os.environ.get("CONZIC_BENCH_TOPK_MODE", "exact")
 TOPK_RECALL = float(os.environ.get("CONZIC_BENCH_TOPK_RECALL", "0.95"))
+# "compare" = exact banned-id membership instead of the f32[V] mask gather
+MASK_IMPL = os.environ.get("CONZIC_BENCH_MASK_IMPL", "gather")
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 # Engine compiler options: None = keep ConzicConfig's default (the
 # tools/flag_sweep.py winner, measured +3-5% full parity at B=32 —
@@ -138,6 +140,7 @@ def build_captioner():
         cfg.compiler_options = XLA_OPTIONS
     cfg.clip_pad_to = PAD_TO
     cfg.topk_chunk = TOPK_CHUNK
+    cfg.mask_impl = MASK_IMPL
     if PRUNE:  # the sampler refuses approx mode without prune_k
         cfg.topk_mode = TOPK_MODE
         cfg.topk_recall = TOPK_RECALL
@@ -377,7 +380,8 @@ def main():
                   + (f" topk=approx{TOPK_RECALL:g}"
                      if PRUNE and TOPK_MODE == "approx" else "")
                   + (f" quant={EFFECTIVE.get('quant', QUANT)}"
-                     if EFFECTIVE.get("quant", QUANT) != "none" else ""),
+                     if EFFECTIVE.get("quant", QUANT) != "none" else "")
+                  + (f" mask={MASK_IMPL}" if MASK_IMPL != "gather" else ""),
         "value": round(ours, 4),
         "unit": "captions/sec",
         "vs_baseline": round(vs, 2) if vs else None,

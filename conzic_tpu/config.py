@@ -121,6 +121,14 @@ class ConzicConfig:
     # approximate and quality-gated); the hybrid final sweep stays exact.
     topk_mode: str = "exact"
     topk_recall: float = 0.95  # approx_max_k per-call recall target
+    # stop-mask lookup on the selected top-k ids: "gather" (take-along
+    # from the f32[V] mask — reference-shaped default) or "compare"
+    # (membership test against the static banned-id lists). EXACT — same
+    # candidate ids bit-for-bit, incl. the softmax-underflow 0.0-tie
+    # regime — but swaps the pruned tier's largest single scalar-core op
+    # (691 us/position kCustom gather at approx/B=256) for a fused vector
+    # compare-reduce. Measure before adopting (fusion-preservation lesson).
+    mask_impl: str = "gather"
     # extra XLA compiler options for the engine program, "k=v,k=v" —
     # applied on TPU backends only (sampler guard). Default = the
     # tools/flag_sweep.py winner on v5e (XLA_FLAG_SWEEP.json: +3-5% full
@@ -143,6 +151,7 @@ class ConzicConfig:
         assert self.control_type in ("sentiment", "pos")
         assert self.sentiment_type in ("positive", "negative")
         assert self.quant in ("none", "int8", "int8_all")
+        assert self.mask_impl in ("gather", "compare")
         assert 1 <= self.clip_len <= 77
 
 
@@ -216,6 +225,10 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    help="approx = approx_max_k stage-1 candidate top-k "
                         "(non-parity; requires --prune_k)")
     p.add_argument("--topk_recall", type=float, default=d.topk_recall)
+    p.add_argument("--mask_impl", type=str, default=d.mask_impl,
+                   choices=["gather", "compare"],
+                   help="stop-mask lookup form for selected ids (exact "
+                        "either way; compare avoids the f32[V] gather)")
     p.add_argument("--attn_impl", type=str, default=d.attn_impl,
                    choices=["xla", "twoblock", "xla_bhsd", "pallas",
                             "pallas_out"])

@@ -76,7 +76,8 @@ def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
 
 def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
                     chunk: int = 4096, mode: str = "exact",
-                    recall: float = 0.95):
+                    recall: float = 0.95,
+                    banned_ids: Optional[jax.Array] = None):
     """Top-k of masked probs; candidate ids with zero mask collapse to 0
     ([PAD]) exactly like the reference's ``(idxs * mask[idxs]).long()``
     (gen_utils.py:72). ``token_mask`` may be (V,) or per-row (B, V).
@@ -105,6 +106,22 @@ def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
         top_probs, idxs = exact_topk_2stage(probs, k, chunk=chunk)
     else:
         top_probs, idxs = jax.lax.top_k(probs, k)
+    if banned_ids is not None:
+        # mask_impl="compare": the same {0,1} lookup computed WITHOUT the
+        # f32[V] kCustom scalar-core gather (the pruned tier's largest
+        # single op, 691 us x 150 calls at approx/B=256 — ROADMAP r4 #4):
+        # membership of each selected id in the static banned-id list via
+        # a broadcast compare + any-reduce, which XLA fuses on the vector
+        # units. Exact: mask[idx] == 0 iff idx is in banned_ids; the -1
+        # padding of the shorter list never matches a top-k id (ids >= 0),
+        # so the {mid,last} lists can share one static shape. The 0.0-tie
+        # regime (softmax underflow at T=0.1) is handled identically to
+        # the gather: selection happened upstream, only the collapse-to-
+        # [PAD] of banned winners (gen_utils.py:72) is computed here.
+        if banned_ids.ndim == 1:
+            banned_ids = banned_ids[None, :]
+        hit = jnp.any(idxs[:, :, None] == banned_ids[:, None, :], axis=-1)
+        return top_probs, jnp.where(hit, 0, idxs).astype(jnp.int32)
     if token_mask.ndim == 1:
         gathered = token_mask[idxs]
     else:

@@ -105,6 +105,13 @@ class EngineSpec:
     # final_exact sweep always resets to "exact".
     topk_mode: str = "exact"
     topk_recall: float = 0.95
+    # stop-mask lookup for the selected top-k ids (energies.topk_candidates):
+    # "gather" = the f32[V] take-along (reference-shaped; default) or
+    # "compare" = membership test against the static banned-id lists
+    # (tables["banned_mid"/"banned_last"]) — EXACT (same {0,1} values, the
+    # gather's 0.0-tie semantics preserved), swaps the pruned tier's
+    # largest single scalar-core op for a fused vector compare-reduce
+    mask_impl: str = "gather"
     # host-exact candidate assembly: CLIP ids come from a pure host
     # callback reproducing the reference's decode -> re-tokenize
     # (gen_utils.py:75 + clip/clip.py:71-73) byte-exactly, including
@@ -245,9 +252,13 @@ def _position_update(
     col = spec.seed_len + pos  # (B,)
 
     probs = energies.masked_lm_probs(logits, token_mask, hyper["temperature"])
+    banned = (
+        _banned_ids_for(spec, tables, pos)
+        if spec.mask_impl == "compare" else None
+    )
     top_probs, idxs = energies.topk_candidates(
         probs, token_mask, k, chunk=spec.topk_chunk,
-        mode=spec.topk_mode, recall=spec.topk_recall,
+        mode=spec.topk_mode, recall=spec.topk_recall, banned_ids=banned,
     )
 
     if spec.prune_k is not None and spec.prune_k < k:
@@ -360,6 +371,28 @@ def _token_mask_for(spec: EngineSpec, tables, pos):
         (pos == spec.sentence_len - 1)[:, None],
         tables["mask_last"][None, :],
         tables["mask_mid"][None, :],
+    )
+
+
+def _banned_ids_for(spec: EngineSpec, tables, pos):
+    """(B,) positions -> (B, nb) banned-id rows for mask_impl="compare".
+
+    Mirrors the token-mask selection the orders actually use: the single/
+    span orders position-select between the mid and last masks
+    (_token_mask_for); the parallel order passes mask_last for EVERY
+    position (the reference never updates the mask there — '.' allowed
+    everywhere, gen_utils.py:256-273 / PARITY.md). The two lists are
+    padded to one static length with -1, which matches no top-k id."""
+    if spec.order_kind == "parallel":
+        B = pos.shape[0]
+        return jnp.broadcast_to(
+            tables["banned_last"][None, :],
+            (B, tables["banned_last"].shape[0]),
+        )
+    return jnp.where(
+        (pos == spec.sentence_len - 1)[:, None],
+        tables["banned_last"][None, :],
+        tables["banned_mid"][None, :],
     )
 
 

@@ -171,6 +171,19 @@ class Captioner:
             "bridge_ids": jnp.asarray(bridge.ids),
             "bridge_lens": jnp.asarray(bridge.lens),
         }
+        if self.cfg.mask_impl == "compare":
+            # static banned-id lists for the compare-form stop-mask lookup
+            # (engine/gibbs.py _banned_ids_for); padded to one shape with
+            # -1 (matches no id). Built only in compare mode so the
+            # default program's inputs — and its jit key — stay unchanged
+            banned_mid = np.nonzero(np.asarray(mask_mid) == 0)[0]
+            banned_last = np.nonzero(np.asarray(mask_last) == 0)[0]
+            nb = max(banned_mid.size, banned_last.size)
+            pad = lambda a: np.pad(  # noqa: E731
+                a.astype(np.int32), (0, nb - a.size), constant_values=-1
+            )
+            tables["banned_mid"] = jnp.asarray(pad(banned_mid))
+            tables["banned_last"] = jnp.asarray(pad(banned_last))
         params = {"bert": bert_params, "clip": clip_params}
         if self.cfg.param_dtype == "bfloat16":
             params = cast_params_dtype(params, jnp.bfloat16)
@@ -511,6 +524,7 @@ class Captioner:
             topk_chunk=self.cfg.topk_chunk,
             topk_mode=self.cfg.topk_mode,
             topk_recall=self.cfg.topk_recall,
+            mask_impl=self.cfg.mask_impl,
             exact_bridge=exact,
         )
 

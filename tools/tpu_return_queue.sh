@@ -62,6 +62,18 @@ run env CONZIC_BENCH_QUANT=int8_all CONZIC_BENCH_PRUNE=5 \
     CONZIC_BENCH_TOPK_MODE=approx CONZIC_BENCH_TOPK_RECALL=0.95 \
     CONZIC_BENCH_BATCH=256 python bench.py
 
+# 4c. mask_impl=compare (EXACT, test-pinned byte-identical): swaps the
+#     pruned tier's largest single op (the f32[V] stop-mask gather,
+#     691 us/position at approx/B=256) for a fused compare-reduce.
+#     Expected ceiling ~+2-3% (ROADMAP r4 #4); measure at the two top
+#     pruned points — adopt as default only on a win at both
+run env CONZIC_BENCH_MASK_IMPL=compare CONZIC_BENCH_PRUNE=3 \
+    CONZIC_BENCH_TOPK_MODE=approx CONZIC_BENCH_TOPK_RECALL=0.90 \
+    CONZIC_BENCH_BATCH=512 python bench.py
+run env CONZIC_BENCH_MASK_IMPL=compare CONZIC_BENCH_PRUNE=5 \
+    CONZIC_BENCH_TOPK_MODE=approx CONZIC_BENCH_TOPK_RECALL=0.95 \
+    CONZIC_BENCH_BATCH=256 python bench.py
+
 # 5. the parked prune3/B=512 flag-sweep copy-share probe (r3 s6)
 run python tools/flag_sweep.py --prune 3 --topk_mode approx --recall 0.90 \
     --batch 512 --only winner,base,winner_lhs,winner_async,vmem64_no_dsr,mbl_off
