@@ -123,6 +123,52 @@ def test_sequential_engine_matches_naive_host_loop(captioner):
     assert result.gen_texts_list[-1] == ref_best
 
 
+@pytest.mark.parametrize("draw", range(3))
+def test_sequential_engine_matches_naive_host_loop_fuzzed_hypers(captioner, draw):
+    """Seeded hyper fuzz of the byte-parity oracle: random sentence_len /
+    top_k / temperature / alpha / beta / iteration-count draws, each
+    compared text-for-text against the naive host loop (the fixed-hyper
+    test above pins one point; generation behavior must hold across the
+    reference's whole flag space, demo.py:15-76). Runs under
+    bridge_mode="exact" — the mode whose CONTRACT is byte parity with the
+    reference's decode -> re-tokenize: random hypers routinely commit
+    '##'-continuation pieces, where the default table bridge approximates
+    by design (PARITY.md)."""
+    cap = captioner
+    hr = np.random.RandomState(100 + draw)
+    kwargs = dict(
+        prompt="Image of a",
+        max_len=int(hr.randint(3, 7)),
+        top_k=int(hr.randint(4, 14)),
+        temperature=float(hr.choice([0.05, 0.1, 0.3, 1.0, 2.0])),
+        max_iters=int(hr.randint(1, 4)),
+        alpha=float(hr.uniform(0.0, 1.0)),
+        beta=float(hr.uniform(0.0, 4.0)),
+    )
+    image_embeds = jnp.asarray(
+        hr.randn(2, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    ref_texts, ref_cos, ref_best, _ = _naive_sequential(
+        cap, np.asarray(image_embeds), **kwargs
+    )
+    cap.cfg.bridge_mode = "exact"
+    try:
+        result = cap.run(
+            image_embeds, prompt=kwargs["prompt"], max_len=kwargs["max_len"],
+            top_k=kwargs["top_k"], temperature=kwargs["temperature"],
+            max_iter=kwargs["max_iters"], alpha=kwargs["alpha"],
+            beta=kwargs["beta"], order="sequential",
+        )
+    finally:
+        cap.cfg.bridge_mode = "table"
+    assert result.gen_texts_list[:-1] == ref_texts, kwargs
+    np.testing.assert_allclose(
+        np.asarray(result.clip_score_sequence[:-1]), np.asarray(ref_cos),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert result.gen_texts_list[-1] == ref_best, kwargs
+
+
 @pytest.mark.parametrize("order", ["sequential", "shuffle", "span", "random", "parallel"])
 def test_all_orders_run_and_are_deterministic(captioner, order):
     cap = captioner
