@@ -156,6 +156,50 @@ def test_ctl_exact_pos_matches_naive_sentence_loop(cap_exact):
     )
 
 
+@pytest.mark.parametrize("draw,ctl", [(0, "sentiment"), (1, "pos")])
+def test_ctl_exact_fuzzed_hypers_match_naive_loop(cap_exact, draw, ctl):
+    """Seeded hyper fuzz of the controlled byte-parity oracle (random
+    len/k/T/alpha/beta/gamma draws). Runs with bridge_mode='exact' too, so
+    '##'-continuation commits — which random hypers routinely produce —
+    stay byte-comparable to the naive decode -> re-tokenize loop."""
+    cap = cap_exact
+    hr = np.random.RandomState(300 + draw)
+    kwargs = dict(
+        prompt="Image of a",
+        max_len=int(hr.randint(3, 6)),
+        top_k=int(hr.randint(4, 10)),
+        temperature=float(hr.choice([0.1, 0.5, 1.5])),
+        max_iters=int(hr.randint(1, 3)),
+        alpha=float(hr.uniform(0.0, 1.0)),
+        beta=float(hr.uniform(0.0, 4.0)),
+        gamma=float(hr.uniform(0.5, 8.0)),
+    )
+    template = None
+    if ctl == "pos":
+        template = [["DET"], ["NOUN"], ["NOUN", "VERB"], [""], ["NOUN"],
+                    ["ADJ", "NOUN"], ["."]]
+    image_embeds = jnp.asarray(
+        hr.randn(2, cap.clip_model.config.projection_dim).astype(np.float32)
+    )
+    ref_texts, ref_ctls = _naive_exact_ctl_sequential(
+        cap, np.asarray(image_embeds), ctl=ctl, template=template, **kwargs)
+    cap.cfg.bridge_mode = "exact"
+    try:
+        result = cap.run(
+            image_embeds, prompt=kwargs["prompt"], max_len=kwargs["max_len"],
+            top_k=kwargs["top_k"], temperature=kwargs["temperature"],
+            max_iter=kwargs["max_iters"], alpha=kwargs["alpha"],
+            beta=kwargs["beta"], gamma=kwargs["gamma"],
+            order="sequential", ctl=ctl, pos_template=template,
+        )
+    finally:
+        cap.cfg.bridge_mode = "table"
+    assert result.gen_texts_list[:-1] == ref_texts, kwargs
+    np.testing.assert_allclose(
+        result.iter_ctl, np.asarray(ref_ctls), rtol=0, atol=1e-6
+    )
+
+
 def test_ctl_exact_host_stepped_matches_callback(cap_exact, monkeypatch):
     """On backends without host callbacks (axon), ctl_mode='exact' runs
     host-stepped (engine/host_exact.py) — must equal the callback engine."""
