@@ -171,19 +171,6 @@ class Captioner:
             "bridge_ids": jnp.asarray(bridge.ids),
             "bridge_lens": jnp.asarray(bridge.lens),
         }
-        if self.cfg.mask_impl == "compare":
-            # static banned-id lists for the compare-form stop-mask lookup
-            # (engine/gibbs.py _banned_ids_for); padded to one shape with
-            # -1 (matches no id). Built only in compare mode so the
-            # default program's inputs — and its jit key — stay unchanged
-            banned_mid = np.nonzero(np.asarray(mask_mid) == 0)[0]
-            banned_last = np.nonzero(np.asarray(mask_last) == 0)[0]
-            nb = max(banned_mid.size, banned_last.size)
-            pad = lambda a: np.pad(  # noqa: E731
-                a.astype(np.int32), (0, nb - a.size), constant_values=-1
-            )
-            tables["banned_mid"] = jnp.asarray(pad(banned_mid))
-            tables["banned_last"] = jnp.asarray(pad(banned_last))
         params = {"bert": bert_params, "clip": clip_params}
         if self.cfg.param_dtype == "bfloat16":
             params = cast_params_dtype(params, jnp.bfloat16)
@@ -377,6 +364,30 @@ class Captioner:
         self.tables["template"] = mesh_lib.replicate(
             self.mesh, jnp.asarray(template_matrix(self.cfg.pos_type))
         )
+
+    # ------------------------------------------------------------------
+    def _ensure_banned_tables(self) -> None:
+        """mask_impl="compare": static banned-id lists for the compare-form
+        stop-mask lookup (engine/gibbs.py _banned_ids_for), padded to one
+        shape with -1 (matches no top-k id). Built lazily on first use so
+        the default program's inputs — and its jit key — stay unchanged
+        and the knob can be flipped on an existing captioner."""
+        if "banned_mid" in self.tables:
+            return
+        banned = {
+            out: np.nonzero(np.asarray(self.tables[src]) == 0)[0]
+            for out, src in (
+                ("banned_mid", "mask_mid"), ("banned_last", "mask_last")
+            )
+        }
+        nb = max(a.size for a in banned.values())
+        for key, a in banned.items():
+            padded = np.pad(
+                a.astype(np.int32), (0, nb - a.size), constant_values=-1
+            )
+            self.tables[key] = mesh_lib.replicate(
+                self.mesh, jnp.asarray(padded)
+            )
 
     # ------------------------------------------------------------------
     def _ensure_word_embeds(self) -> None:
@@ -667,6 +678,8 @@ class Captioner:
             prune_k = None
         if prune_k is not None:
             self._ensure_word_embeds()
+        if self.cfg.mask_impl == "compare":
+            self._ensure_banned_tables()
         tables = self.tables
         ctl_key = ""
         if ctl is not None and self.cfg.ctl_mode == "exact":
