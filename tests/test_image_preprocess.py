@@ -27,6 +27,29 @@ def test_preprocess_pil_matches_hf(size):
     np.testing.assert_allclose(got.transpose(2, 0, 1), ref, rtol=1e-5, atol=1e-5)
 
 
+def test_preprocess_pil_fuzz_sizes_and_modes_match_hf():
+    """Seeded fuzz over image shapes (tiny, sub-crop-size, extreme aspect
+    ratios) and PIL modes (L/RGBA/P/CMYK — the do_convert_rgb path):
+    byte-parity of the full resize -> center-crop -> normalize pipeline
+    vs HF, including the pad-when-smaller-than-crop branch."""
+    rng = np.random.RandomState(7)
+    hf = transformers.CLIPImageProcessor()
+    sizes = [(5, 300), (300, 5), (100, 100), (223, 225), (1, 1000),
+             (640, 480), (17, 31)]
+    sizes += [tuple(rng.randint(4, 700, 2)) for _ in range(8)]
+    modes = ["RGB", "L", "RGBA", "P", "CMYK"]
+    for i, (w, h) in enumerate(sizes):
+        mode = modes[i % len(modes)]
+        arr = rng.randint(0, 255, (h, w, 4), dtype=np.uint8)
+        img = Image.fromarray(arr[..., :3]).convert(mode)
+        ref = hf(images=img, return_tensors="np")["pixel_values"][0]
+        got = preprocess_pil(img)
+        np.testing.assert_allclose(
+            got.transpose(2, 0, 1), ref, rtol=1e-5, atol=1e-5,
+            err_msg=f"size={(w, h)} mode={mode}",
+        )
+
+
 def test_preprocess_jax_close_to_pil():
     rng = np.random.RandomState(1)
     arr = rng.randint(0, 255, (300, 400, 3), dtype=np.uint8)
