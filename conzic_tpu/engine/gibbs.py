@@ -232,6 +232,7 @@ def _position_update(
     pos: jax.Array,
     logits: jax.Array,
     token_mask: jax.Array,
+    banned: Optional[jax.Array] = None,
     prefix_len: int = 0,
     host_bridge=None,
     host_ctl=None,
@@ -252,9 +253,9 @@ def _position_update(
     col = spec.seed_len + pos  # (B,)
 
     probs = energies.masked_lm_probs(logits, token_mask, hyper["temperature"])
-    banned = (
-        _banned_ids_for(spec, tables, pos)
-        if spec.mask_impl == "compare" else None
+    assert (banned is None) == (spec.mask_impl != "compare"), (
+        "mask_impl='compare' call sites must pass the banned rows selected "
+        "TOGETHER with token_mask (_token_mask_for / _mask_last_pair)"
     )
     top_probs, idxs = energies.topk_candidates(
         probs, token_mask, k, chunk=spec.topk_chunk,
@@ -366,34 +367,41 @@ def _position_update(
 
 
 def _token_mask_for(spec: EngineSpec, tables, pos):
-    """(B,) positions -> (B, V) masks ('.' only at the last slot)."""
-    return jnp.where(
+    """(B,) positions -> ((B, V) mask, (B, nb) banned rows or None).
+
+    The mask and — under mask_impl="compare" — the banned-id rows are
+    selected by ONE rule here, so the pair can never diverge: '.' only at
+    the last slot (utils.py:53-59), i.e. mid everywhere else. The banned
+    lists are padded to one static length with -1, which matches no
+    top-k id. The parallel order does not use this helper — it passes the
+    mask_last pair for every position (_mask_last_pair)."""
+    mask = jnp.where(
         (pos == spec.sentence_len - 1)[:, None],
         tables["mask_last"][None, :],
         tables["mask_mid"][None, :],
     )
-
-
-def _banned_ids_for(spec: EngineSpec, tables, pos):
-    """(B,) positions -> (B, nb) banned-id rows for mask_impl="compare".
-
-    Mirrors the token-mask selection the orders actually use: the single/
-    span orders position-select between the mid and last masks
-    (_token_mask_for); the parallel order passes mask_last for EVERY
-    position (the reference never updates the mask there — '.' allowed
-    everywhere, gen_utils.py:256-273 / PARITY.md). The two lists are
-    padded to one static length with -1, which matches no top-k id."""
-    if spec.order_kind == "parallel":
-        B = pos.shape[0]
-        return jnp.broadcast_to(
-            tables["banned_last"][None, :],
-            (B, tables["banned_last"].shape[0]),
-        )
-    return jnp.where(
+    if spec.mask_impl != "compare":
+        return mask, None
+    banned = jnp.where(
         (pos == spec.sentence_len - 1)[:, None],
         tables["banned_last"][None, :],
         tables["banned_mid"][None, :],
     )
+    return mask, banned
+
+
+def _mask_last_pair(spec: EngineSpec, tables, B: int):
+    """The parallel order's (mask, banned) pair: mask_last for EVERY
+    position (the reference never updates the mask there — '.' allowed
+    everywhere, gen_utils.py:256-273 / PARITY.md)."""
+    mask = tables["mask_last"][None, :]
+    if spec.mask_impl != "compare":
+        return mask, None
+    banned = jnp.broadcast_to(
+        tables["banned_last"][None, :],
+        (B, tables["banned_last"].shape[0]),
+    )
+    return mask, banned
 
 
 def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
@@ -427,9 +435,9 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
             def step(carry, pos):
                 ids, _, _ = carry
                 masked, logits = fresh_logits(ids, pos)
-                mask = _token_mask_for(spec, tables, pos)
+                mask, banned = _token_mask_for(spec, tables, pos)
                 new_ids, cos, ctl = update(
-                    masked, masked, pos, logits, mask, prefix_len=P
+                    masked, masked, pos, logits, mask, banned, prefix_len=P
                 )
                 return (new_ids, cos, ctl), None
 
@@ -486,9 +494,10 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
                 pos = jnp.full((ids.shape[0],), start + j, jnp.int32)
 
                 def do(ids):
-                    mask = _token_mask_for(spec, tables, pos)
+                    mask, banned = _token_mask_for(spec, tables, pos)
                     return update(
-                        ids, ids, pos, logits_span[:, j], mask, prefix_len=P0
+                        ids, ids, pos, logits_span[:, j], mask, banned,
+                        prefix_len=P0,
                     )
 
                 new_ids, cos, ctl = jax.lax.cond(
@@ -535,9 +544,10 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
                 # reference parallel never updates the token mask; the
                 # initial mask allows '.' everywhere (see PARITY.md)
                 pos = jnp.full((B,), kk, jnp.int32)
+                mask, banned = _mask_last_pair(spec, tables, B)
                 new_ids, cos, ctl = update(
-                    base, ids, pos, logits_all[:, kk],
-                    tables["mask_last"][None, :], prefix_len=P0,
+                    base, ids, pos, logits_all[:, kk], mask, banned,
+                    prefix_len=P0,
                 )
                 return (new_ids, cos, ctl), None
 

@@ -368,7 +368,7 @@ class Captioner:
     # ------------------------------------------------------------------
     def _ensure_banned_tables(self) -> None:
         """mask_impl="compare": static banned-id lists for the compare-form
-        stop-mask lookup (engine/gibbs.py _banned_ids_for), padded to one
+        stop-mask lookup (engine/gibbs.py _token_mask_for), padded to one
         shape with -1 (matches no top-k id). Built lazily on first use so
         the default program's inputs — and its jit key — stay unchanged
         and the knob can be flipped on an existing captioner."""
@@ -505,6 +505,16 @@ class Captioner:
                 "topk_mode='approx' is a pruned-tier-only lever: it relaxes "
                 "the candidate set (non-parity) and is refused without "
                 "prune_k so the full-parity tier stays exact"
+            )
+        if self.cfg.mask_impl not in ("gather", "compare"):
+            # consumption-site check: env-mutated configs (bench.py's
+            # CONZIC_BENCH_MASK_IMPL) bypass ConzicConfig.validate, and a
+            # typo'd value would silently run the gather path under a
+            # compare label — the vacuous-measurement failure mode again
+            # (cf. tower_quants)
+            raise ValueError(
+                f"unknown mask_impl {self.cfg.mask_impl!r} "
+                "(expected gather | compare)"
             )
         row_chunk = self.cfg.clip_row_chunk
         budget = self.cfg.clip_token_budget
@@ -714,6 +724,21 @@ class Captioner:
             final_exact=prune_final_exact,
             ctl_key=ctl_key,
         )
+        # pass the program ONLY the tables this spec consumes: lazily-built
+        # tables (ctl lexicons, word_embeds, banned lists) otherwise change
+        # the argument pytree of every LATER run — e.g. flipping
+        # mask_impl compare -> gather would force a full retrace of the
+        # already-compiled gather program with two dead inputs
+        need = {"mask_mid", "mask_last", "bridge_ids", "bridge_lens"}
+        if spec.ctl is not None and spec.ctl_mode == "table":
+            need |= {"senti", "pos", "template"}
+        if spec.prune_k is not None:
+            need.add("word_embeds")
+        if spec.mask_impl == "compare":
+            need |= {"banned_mid", "banned_last"}
+        tables = {k: v for k, v in tables.items() if k in need}
+        missing = need - set(tables)
+        assert not missing, f"spec needs tables not built: {missing}"
         B0 = int(image_embeds.shape[0])
         B = B0 * n_samples
         if n_samples > 1:

@@ -68,6 +68,52 @@ def test_topk_candidates_compare_per_row_banned_with_padding():
     np.testing.assert_array_equal(np.asarray(idx_g), np.asarray(idx_c))
 
 
+def test_flipping_mask_impl_back_does_not_retrace_gather_program(
+    tmp_path_factory,
+):
+    """Lazily-built banned tables must not leak into the gather program's
+    argument pytree: gather -> compare -> gather must reuse BOTH compiled
+    programs (one trace each), not retrace the gather program with two
+    dead table inputs."""
+    d = tmp_path_factory.mktemp("capflip")
+    cap = Captioner.from_random(tmpdir=str(d), dtype=jnp.float32,
+                                init_mode="proper")
+    cap.cfg.verbose = False
+    embeds = jnp.asarray(
+        np.random.RandomState(0).randn(
+            1, cap.clip_model.config.projection_dim
+        ).astype(np.float32)
+    )
+    kw = dict(prompt="Image of a", max_len=4, top_k=8, temperature=0.1,
+              max_iter=1, alpha=0.02, beta=2.0, order="sequential")
+    r1 = cap.run(embeds, rng=np.random.RandomState(1), **kw)
+    cap.cfg.mask_impl = "compare"
+    r2 = cap.run(embeds, rng=np.random.RandomState(1), **kw)
+    cap.cfg.mask_impl = "gather"
+    r3 = cap.run(embeds, rng=np.random.RandomState(1), **kw)
+    assert r1.gen_texts_list == r2.gen_texts_list == r3.gen_texts_list
+    assert "banned_mid" in cap.tables  # built by the compare run
+    sizes = [
+        fn._cache_size() for fn in cap._jit_cache.values()
+        if hasattr(fn, "_cache_size")
+    ]
+    assert sizes and all(s == 1 for s in sizes), sizes
+
+
+def test_unknown_mask_impl_rejected_at_run_time(tmp_path_factory):
+    """Env-mutated configs bypass ConzicConfig.validate; a typo'd
+    mask_impl must fail loudly, not silently run the gather path under a
+    compare label (the vacuous-measurement failure mode)."""
+    d = tmp_path_factory.mktemp("capbad")
+    cap = Captioner.from_random(tmpdir=str(d), dtype=jnp.float32)
+    cap.cfg.verbose = False
+    cap.cfg.mask_impl = "compre"
+    embeds = jnp.zeros((1, cap.clip_model.config.projection_dim), jnp.float32)
+    with pytest.raises(ValueError, match="mask_impl"):
+        cap.run(embeds, prompt="Image of a", max_len=3, top_k=4,
+                temperature=0.1, max_iter=1, alpha=0.02, beta=2.0)
+
+
 @pytest.fixture(scope="module")
 def cap_pair(tmp_path_factory):
     d = tmp_path_factory.mktemp("capm")

@@ -28,7 +28,8 @@ EOF
   then
     echo "$(date -u +%F\ %T) TPU BACK — starting queue" >> "$POLL_LOG"
     bash tools/tpu_return_queue.sh "$QUEUE_LOG"
-    echo "$(date -u +%F\ %T) queue finished rc=$?" >> "$POLL_LOG"
+    rc=$?  # capture BEFORE the echo: $(date) in the same word clobbers $?
+    echo "$(date -u +%F\ %T) queue finished rc=$rc" >> "$POLL_LOG"
     break
   fi
   echo "$(date -u +%F\ %T) still down" >> "$POLL_LOG"
