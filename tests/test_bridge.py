@@ -487,3 +487,38 @@ def test_host_engine_is_memoized_across_runs(monkeypatch):
     # a different hyperparameter is a different baked program: rebuild
     cap.run(embeds, **{**kwargs, "beta": 1.5})
     assert len(builds) == 2
+
+
+def test_bridge_table_matches_python_bpe_for_every_token(tmp_path):
+    """Whole-vocab golden cross-check, incl. the native/Python routing
+    boundary: digit runs ('1990') and digit-letter mixes ('2nd', 'mp3')
+    are split by the CLIP pre-tokenizer regex into sub-tokens that EACH
+    carry their own </w>, which the native fast path does not model — the
+    builder must route them to the canonical Python encoder
+    (bridge.py fast/slow gate), so every table entry equals
+    bpe.encode_word_ids of the token body."""
+    from conzic_tpu.text.vocab import token_body
+
+    vocab = make_test_wordpiece_vocab(
+        extra_words=["1990", "2nd", "mp3", "x2x9y", "42"]
+    )
+    wp_path = os.path.join(tmp_path, "vocab.txt")
+    with open(wp_path, "w", encoding="utf-8") as f:
+        for tok in sorted(vocab, key=vocab.get):
+            f.write(tok + "\n")
+    wp = WordPieceTokenizer.from_vocab_file(wp_path)
+    bpe = CLIPBPETokenizer.from_files(*make_test_bpe_files(str(tmp_path)))
+    bridge = build_bridge_table(wp, bpe)
+    checked_mixed = 0
+    for tok, i in wp.vocab.items():
+        if tok in wp.special_tokens:
+            continue
+        body = token_body(tok)
+        if not body:
+            continue
+        want = bpe.encode_word_ids(body)
+        got = bridge.ids[i, : bridge.lens[i]].tolist()
+        assert got == want, (tok, body, got, want)
+        if not body.isalpha():
+            checked_mixed += 1
+    assert checked_mixed >= 5  # the boundary cases were actually exercised

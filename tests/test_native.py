@@ -89,3 +89,28 @@ def test_native_decode_empty_batch_matches_python(toks):
     dec = native.NativeWordPieceDecoder(wp)
     empty = np.zeros((0, 5), np.int32)
     assert dec.batch_decode(empty, True) == wp.batch_decode(empty, True) == []
+
+
+def test_native_bpe_word_encode_fuzz_matches_python(toks):
+    """Seeded fuzz: the C++ word encoder against the Python BPE on random
+    lowercase-LETTER words of widely varied lengths — its documented
+    contract and exactly the subset the bridge builder routes to it
+    (bridge.py gates on isascii+islower+isalpha; digit/mixed words go
+    through the Python path because the CLIP pre-tokenizer regex splits
+    them into sub-tokens, each with its own </w> — see the boundary test
+    in tests/test_bridge.py)."""
+    import random
+    import string
+
+    _, bpe = toks
+    enc = native.NativeBpeWordEncoder(bpe)
+    rng = random.Random(9)
+    words = [
+        "".join(rng.choice(string.ascii_lowercase)
+                for _ in range(rng.randint(1, 24)))
+        for _ in range(300)
+    ]
+    max_pieces = max(len(bpe.encode_word_ids(w)) for w in words)
+    ids, lens = enc.encode_words(words, max_pieces=max_pieces)
+    for i, w in enumerate(words):
+        assert ids[i, : lens[i]].tolist() == bpe.encode_word_ids(w), w
