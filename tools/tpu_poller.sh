@@ -13,8 +13,18 @@ QUEUE_LOG=${2:-TPU_QUEUE_RUN.log}
 export PYTHONPATH=/root/.axon_site:/root/repo${PYTHONPATH:+:$PYTHONPATH}
 export JAX_PLATFORMS=axon
 
-echo "$(date -u +%F\ %T) poller start" >> "$POLL_LOG"
+# safety TTL: stop probing after this many seconds (default 8h) so an
+# orphaned poller from an ended session can never start a queue that
+# contends with a LATER session's TPU use (CLAUDE.md: one process)
+TTL=${TPU_POLLER_TTL_S:-28800}
+DEADLINE=$(( $(date +%s) + TTL ))
+
+echo "$(date -u +%F\ %T) poller start (ttl ${TTL}s)" >> "$POLL_LOG"
 while true; do
+  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "$(date -u +%F\ %T) TTL reached — giving up without a queue run" >> "$POLL_LOG"
+    exit 1
+  fi
   # a downed backend HANGS on init rather than erroring (bench watchdog
   # note) — bound the probe; a live backend answers in seconds and the
   # tiny matmul proves dispatch works, not just discovery
