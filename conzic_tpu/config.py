@@ -61,15 +61,16 @@ class ConzicConfig:
     # evaluators otherwise; sentiments_classifer.py:14-32,
     # POS_classifier.py:6-31)
     ctl_mode: str = "table"
-    # opt-in NON-parity speed tier: int8 MXU path for the CLIP text tower's
-    # projections/MLPs (the hot candidate scoring) — nominal v5e int8 rate
-    # is 2x bf16, but the measured op-level rate on this toolchain is
-    # ~1.47x (ROADMAP r2 s3 isolation microbench); end-to-end re-measure
-    # queued (r3 s6 wiring fix). "int8_all" additionally quantizes the
-    # BERT proposal encoder (~22% of pruned-tier device time) — changes
-    # WHICH candidates are proposed, not just their scores, so its
-    # quality cells are measured separately (tools/validate_quant.py
-    # --quant int8_all)
+    # opt-in NON-parity int8 MXU path for the CLIP text tower's
+    # projections/MLPs ("int8_all" additionally quantizes the BERT
+    # proposal encoder). MEASURED END-TO-END LOSER on this toolchain
+    # (r3 s9): full parity 1.75 vs 3.25 caps/s, pruned prune3/B=512
+    # 51.3 vs 82.4 — the per-matmul quantize/dequantize ops are fusion
+    # barriers around every hot matmul (same mechanism as the six losing
+    # attention reformulations; CLAUDE.md fusion-preservation lesson),
+    # swamping the ~1.47x op-level int8 rate (r2 s3 isolation
+    # microbench; nominal 2x). Kept as a tested opt-in for other
+    # toolchains; do not re-measure blind.
     quant: str = "none"  # none | int8 | int8_all
     # opt-in speed tier: pre-select prune_k of the k candidates by the
     # bag-of-word-embeddings proxy before full CLIP scoring (0 = off,
