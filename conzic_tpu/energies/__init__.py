@@ -118,6 +118,13 @@ def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
         # regime (softmax underflow at T=0.1) is handled identically to
         # the gather: selection happened upstream, only the collapse-to-
         # [PAD] of banned winners (gen_utils.py:72) is computed here.
+        # MEASURED END-TO-END LOSER at both target points (r3 s11, paired
+        # same-VM fp controls): prune3/approx0.90/B=512 76.51 vs 82.26
+        # (-7.0%), prune5/approx0.95/B=256 53.78 vs 55.21 (-2.6%) — the
+        # (B, k, |banned|) broadcast compare costs more than the 691 us
+        # gather it replaces, and the cost grows with batch. Kept as a
+        # tested opt-in (--mask_impl compare); gather stays the default.
+        # Do not re-measure blind (8th fusion-preservation instance).
         if banned_ids.ndim == 1:
             banned_ids = banned_ids[None, :]
         hit = jnp.any(idxs[:, :, None] == banned_ids[:, None, :], axis=-1)
