@@ -134,7 +134,10 @@ class ConzicConfig:
     # applied on TPU backends only (sampler guard). Default = the
     # tools/flag_sweep.py winner on v5e (XLA_FLAG_SWEEP.json: +3-5% full
     # parity over repeats; vmem 32768 and no-dot-strength-reduction stack).
-    # Set "" to fall back to toolchain defaults.
+    # NOTE the winner is parity-tier-specific: on the pruned tier
+    # (prune3/approx0.9/B=512 cells) base measured 82.93 vs winner 82.25
+    # — neutral-to-slightly-negative, within noise. Kept as default for
+    # the full-parity headline. Set "" to fall back to toolchain defaults.
     compiler_options: str = (
         "xla_tpu_scoped_vmem_limit_kib=32768,"
         "xla_tpu_enable_dot_strength_reduction=false"

@@ -34,6 +34,21 @@ MATRIX_PATH = os.path.join(
 )
 
 
+def session_tag() -> str:
+    """Provenance tag recorded per cell (ADVICE r3): absolute timings
+    (the ``speedup`` field) drift up to ~12% across fresh VMs, so cells
+    must carry which session measured them. Override with
+    CONZIC_SESSION; defaults to host + UTC date."""
+    import datetime
+    import socket
+
+    tag = os.environ.get("CONZIC_SESSION")
+    if tag:
+        return tag
+    return (socket.gethostname() + ":"
+            + datetime.datetime.utcnow().strftime("%Y-%m-%d"))
+
+
 def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
              recall=0.95, final_exact=False, quant="none",
              n_images=4, clip_len=24, seed=0) -> str:
@@ -118,7 +133,11 @@ def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
         "caption_exact": exact,
         "token_agreement": tok_agree,
         "best_cosine_delta": cos_delta,
+        # wall-clock ratio on THIS session's VM only — cross-VM absolute
+        # timings drift ~12% (CLAUDE.md); never compare speedups across
+        # cells with different "session" tags
         "speedup": full.elapsed_s / max(pruned.elapsed_s, 1e-9),
+        "session": session_tag(),
     }
 
 
@@ -247,7 +266,7 @@ def main():
         cell = run_cell(cap, embeds, order=order, ctl=ctl, prune_k=pk,
                         final_exact=fe, **common)
         for m, v in cell.items():
-            print(f"  {m}: {v:.4f}")
+            print(f"  {m}: {v:.4f}" if isinstance(v, float) else f"  {m}: {v}")
         cells[key] = cell
     result = {
         "weights": ("random-" + args.random_models) if args.random_models
