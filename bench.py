@@ -306,9 +306,9 @@ def check_prune_quality():
     # carry a trailing @len<N>; prefer the matching-length cell when
     # benching a non-default CLIP_LEN, falling back to the standard
     # clip_len=24 cells (the borrow is announced).
-    def scan(lentail):
+    def scan(source_cells, lentail):
         point = {}
-        for k, v in cells.items():
+        for k, v in source_cells.items():
             if lentail:
                 if not k.endswith(lentail):
                     continue
@@ -323,13 +323,26 @@ def check_prune_quality():
                     point[int(m.group(1))] = v
         return point
 
-    point = scan(f"@len{CLIP_LEN}" if CLIP_LEN != 24 else "")
-    if not point and CLIP_LEN != 24:
-        point = scan("")
+    # the gate PREFERS trained-weights cells (tools/trained_quality_cells
+    # writes a "trained" section measured on semantic tiny models — a
+    # Δcos there is an actual caption-quality loss; the legacy random-
+    # weight cells only bound numerical drift)
+    sources = []
+    if matrix.get("trained", {}).get("cells"):
+        sources.append(("trained-tiny", matrix["trained"]["cells"]))
+    sources.append((matrix.get("weights"), cells))
+    point, weights_label = {}, None
+    for label, source_cells in sources:
+        point = scan(source_cells, f"@len{CLIP_LEN}" if CLIP_LEN != 24 else "")
+        if not point and CLIP_LEN != 24:
+            point = scan(source_cells, "")
+            if point:
+                print(f"NOTE: no clip_len={CLIP_LEN} quality cell — gating "
+                      f"on the clip_len=24 cells for this prune/mode point.",
+                      file=sys.stderr)
         if point:
-            print(f"NOTE: no clip_len={CLIP_LEN} quality cell — gating on "
-                  f"the clip_len=24 cells for this prune/mode point.",
-                  file=sys.stderr)
+            weights_label = label
+            break
     if not point:
         print(f"WARNING: PRUNING_MATRIX.json has no cell for prune_k={PRUNE}"
               f"{suffix} — this operating point's quality is unmeasured "
@@ -338,10 +351,13 @@ def check_prune_quality():
               file=sys.stderr)
     else:
         delta = point[max(point)]["best_cosine_delta"]
+        if weights_label == "trained-tiny":
+            print(f"quality gate: trained-tiny cell, best-cosine delta "
+                  f"{delta:+.4f} @n{max(point)}", file=sys.stderr)
         if delta > 0.01:
             print(f"WARNING: best-cosine delta at this operating point is "
                   f"{delta:+.4f} (> 0.01); treat the pruned throughput as "
-                  f"quality-degraded ({matrix.get('weights')}).",
+                  f"quality-degraded ({weights_label}).",
                   file=sys.stderr)
 
 

@@ -201,7 +201,13 @@ class Captioner:
         cls, config: ConzicConfig, mesh=None
     ) -> "Captioner":
         """Load from local HF checkpoint directories named by
-        ``config.lm_model`` / ``config.match_model``."""
+        ``config.lm_model`` / ``config.match_model``. A directory saved by
+        models/checkpoint.py (locally trained flax models, marked by
+        conzic_tiny.json) is auto-detected and routed to from_tiny_dir."""
+        from conzic_tpu.models.checkpoint import is_tiny_checkpoint
+
+        if is_tiny_checkpoint(config.lm_model):
+            return cls.from_tiny_dir(config, mesh=mesh)
         from conzic_tpu.models.convert import load_bert, load_clip
 
         from conzic_tpu.models.convert import params_with_scanned_encoders
@@ -227,6 +233,42 @@ class Captioner:
             wp = WordPieceTokenizer.from_pretrained(config.lm_model)
         bpe = CLIPBPETokenizer.from_pretrained(config.match_model)
         return cls(bert, bert_params, clip, clip_params, wp, bpe, config, mesh)
+
+    @classmethod
+    def from_tiny_dir(
+        cls, config: ConzicConfig, path: Optional[str] = None, mesh=None
+    ) -> "Captioner":
+        """Load a locally trained flax checkpoint directory
+        (models/checkpoint.py; produced by tools/train_tiny.py). One
+        directory carries BOTH towers plus both tokenizers — the
+        trained-tiny world is a single artifact."""
+        import os
+
+        from conzic_tpu.models.checkpoint import load_tiny_checkpoint
+        from conzic_tpu.models.convert import params_with_scanned_encoders
+
+        path = path or config.lm_model
+        bert_cfg, bert_params, clip_cfg, clip_params, _doc = (
+            load_tiny_checkpoint(path)
+        )
+        if config.scan_layers:
+            bert_params = params_with_scanned_encoders(bert_params)
+            clip_params = params_with_scanned_encoders(clip_params)
+        dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        bert_quant, clip_quant = tower_quants(config.quant)
+        bert = BertForMaskedLM(bert_cfg, dtype=dtype,
+                               attn_impl=config.attn_impl,
+                               scan_layers=config.scan_layers,
+                               quant=bert_quant)
+        clip = CLIPModel(clip_cfg, dtype=dtype, attn_impl=config.attn_impl,
+                         scan_layers=config.scan_layers, quant=clip_quant)
+        wp = WordPieceTokenizer.from_vocab_file(
+            os.path.join(path, "vocab.txt"))
+        bpe = CLIPBPETokenizer.from_files(
+            os.path.join(path, "bpe_vocab.json"),
+            os.path.join(path, "bpe_merges.txt"))
+        return cls(bert, bert_params, clip, clip_params, wp, bpe, config,
+                   mesh)
 
     @classmethod
     def from_random(

@@ -33,7 +33,47 @@ def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def fused_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                      eps: float = 1e-5, interpret: bool = False) -> jax.Array:
-    """LayerNorm over the last axis. x: (..., F); scale/bias: (F,)."""
+    """LayerNorm over the last axis. x: (..., F); scale/bias: (F,).
+
+    Differentiable: a custom VJP supplies the standard LN backward in
+    plain jnp (XLA fuses it fine for training steps — the kernel's value
+    is the inference hot loop), since pallas_call itself has no autodiff
+    rule. tools/train_tiny.py trains through this path on TPU."""
+    return _fused_ln_diff(x, scale, bias, eps, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_ln_diff(x, scale, bias, eps, interpret):
+    return _fused_ln_forward(x, scale, bias, eps, interpret)
+
+
+def _fused_ln_fwd(x, scale, bias, eps, interpret):
+    return _fused_ln_forward(x, scale, bias, eps, interpret), (x, scale)
+
+
+def _fused_ln_bwd(eps, interpret, res, dy):
+    x, scale = res
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    r = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * r
+    dyg = dyf * scale.astype(jnp.float32)
+    dx = r * (dyg - jnp.mean(dyg, axis=-1, keepdims=True)
+              - xhat * jnp.mean(dyg * xhat, axis=-1, keepdims=True))
+    reduce_axes = tuple(range(dy.ndim - 1))
+    dscale = jnp.sum(dyf * xhat, axis=reduce_axes)
+    dbias = jnp.sum(dyf, axis=reduce_axes)
+    return dx.astype(x.dtype), dscale, dbias
+
+
+_fused_ln_diff.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+
+
+def _fused_ln_forward(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                      eps: float, interpret: bool) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -182,6 +182,41 @@ def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
     assert "no cell" in err and "prune_k=5+approx0.9" in err
 
 
+def test_trained_cells_take_precedence(bench_mod, capsys):
+    """The gate prefers trained-tiny (semantic-weights) cells over the
+    legacy random-weight cells for the same operating point, and says
+    which source decided (tools/trained_quality_cells.py)."""
+    path = os.path.join(os.path.dirname(bench_mod.__file__),
+                        "PRUNING_MATRIX.json")
+    matrix = {
+        "weights": "random-full",
+        "cells": {"sequential/free/prune5": {"best_cosine_delta": 0.004}},
+        "trained": {"weights": "trained-tiny", "cells": {
+            "sequential/free/prune5@n32": {"best_cosine_delta": 0.02}}},
+    }
+    with open(path, "w") as f:
+        json.dump(matrix, f)
+    # over-gate trained cell warns even though the random cell is under
+    err = _gate_stderr(bench_mod, capsys, prune=5)
+    assert "+0.0200" in err and "quality-degraded" in err
+    assert "trained-tiny" in err
+    # an under-gate trained cell announces the source and stays quiet
+    matrix["trained"]["cells"]["sequential/free/prune5@n32"][
+        "best_cosine_delta"] = 0.003
+    with open(path, "w") as f:
+        json.dump(matrix, f)
+    err = _gate_stderr(bench_mod, capsys, prune=5)
+    assert "quality gate: trained-tiny" in err and "+0.0030" in err
+    assert "quality-degraded" not in err
+    # an operating point with NO trained cell falls back to random cells
+    matrix["cells"]["sequential/free/prune5+approx0.95"] = {
+        "best_cosine_delta": 0.02}
+    with open(path, "w") as f:
+        json.dump(matrix, f)
+    err = _gate_stderr(bench_mod, capsys, prune=5, mode="approx")
+    assert "quality-degraded" in err and "random-full" in err
+
+
 def test_cell_key_builder_matches_the_gate_grammar():
     """The producers build keys via tools/validate_pruning.cell_key;
     bench's gate matches its own standalone copy of the grammar. Pin the

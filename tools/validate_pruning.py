@@ -92,7 +92,8 @@ def build_quant_captioner(cfg, quant, recall, random_models):
 
 
 def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
-             final_exact=False, topk_mode="exact", cap_pruned=None):
+             final_exact=False, topk_mode="exact", cap_pruned=None,
+             return_runs=False):
     """One (order, ctl, prune_k) quality cell. NOTE: the ``speedup``
     column is wall-clock including any first-run compile of a cold spec —
     treat it as informational; caps/s operating points come from bench.py
@@ -129,7 +130,7 @@ def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
     exact = float(np.mean([a == b for a, b in zip(finals_f, finals_p)]))
     tok_agree = float((full.iter_ids[-1] == pruned.iter_ids[-1]).mean())
     cos_delta = float(np.mean(full.best_cos - pruned.best_cos))
-    return {
+    cell = {
         "caption_exact": exact,
         "token_agreement": tok_agree,
         "best_cosine_delta": cos_delta,
@@ -139,6 +140,9 @@ def run_cell(cap, embeds, *, order, ctl, prune_k, sentence_len, iters, k,
         "speedup": full.elapsed_s / max(pruned.elapsed_s, 1e-9),
         "session": session_tag(),
     }
+    if return_runs:
+        return cell, runs
+    return cell
 
 
 def main():
