@@ -267,6 +267,50 @@ def bench_torch_baseline() -> float:
     return 1.0 / (per_position * SENTENCE_LEN * ITERS)
 
 
+def lookup_quality_cell(matrix, head, clip_len=24):
+    """Resolve the best-estimator quality cell for an operating-point
+    ``head`` (the cell-key grammar's prefix, e.g.
+    ``sequential/free/prune3+approx0.9``): trained-weights cells first
+    (semantic models — tools/trained_quality_cells.py), then the legacy
+    random-weight cells; within a source, the largest-sample ``@n<N>``
+    cell wins; ``@len<L>`` cells are preferred at non-default clip_len.
+
+    Returns (cell, weights_label, n_sample, borrowed_default_len)."""
+    cells = matrix.get("cells", {})
+
+    def scan(source_cells, lentail):
+        point = {}
+        for k, v in source_cells.items():
+            if lentail:
+                if not k.endswith(lentail):
+                    continue
+                k = k[: -len(lentail)]
+            elif "@len" in k:
+                continue
+            if k == head:
+                point[4] = v
+            else:
+                m = re.fullmatch(re.escape(head) + r"@n(\d+)", k)
+                if m:
+                    point[int(m.group(1))] = v
+        return point
+
+    sources = []
+    if matrix.get("trained", {}).get("cells"):
+        sources.append(("trained-tiny", matrix["trained"]["cells"]))
+    sources.append((matrix.get("weights"), cells))
+    for label, source_cells in sources:
+        borrowed = False
+        point = scan(source_cells, f"@len{clip_len}" if clip_len != 24 else "")
+        if not point and clip_len != 24:
+            point = scan(source_cells, "")
+            borrowed = bool(point)
+        if point:
+            n = max(point)
+            return point[n], label, n, borrowed
+    return None, None, None, False
+
+
 def check_prune_quality():
     """Gate the (non-parity) pruned headline on the committed quality
     matrix: warn loudly when the matrix is missing or shows material
@@ -279,7 +323,6 @@ def check_prune_quality():
         return
     with open(path) as f:
         matrix = json.load(f)
-    cells = matrix.get("cells", {})
     # the cell for THIS operating point (mode-aware: approx stage-1 cells
     # carry a +approx<recall> suffix and are measured on-TPU).
     # NOTE: this is bench's standalone copy of the key grammar — the
@@ -306,59 +349,72 @@ def check_prune_quality():
     # carry a trailing @len<N>; prefer the matching-length cell when
     # benching a non-default CLIP_LEN, falling back to the standard
     # clip_len=24 cells (the borrow is announced).
-    def scan(source_cells, lentail):
-        point = {}
-        for k, v in source_cells.items():
-            if lentail:
-                if not k.endswith(lentail):
-                    continue
-                k = k[: -len(lentail)]
-            elif "@len" in k:
-                continue
-            if k == head:
-                point[4] = v
-            else:
-                m = re.fullmatch(re.escape(head) + r"@n(\d+)", k)
-                if m:
-                    point[int(m.group(1))] = v
-        return point
-
     # the gate PREFERS trained-weights cells (tools/trained_quality_cells
     # writes a "trained" section measured on semantic tiny models — a
     # Δcos there is an actual caption-quality loss; the legacy random-
     # weight cells only bound numerical drift)
-    sources = []
-    if matrix.get("trained", {}).get("cells"):
-        sources.append(("trained-tiny", matrix["trained"]["cells"]))
-    sources.append((matrix.get("weights"), cells))
-    point, weights_label = {}, None
-    for label, source_cells in sources:
-        point = scan(source_cells, f"@len{CLIP_LEN}" if CLIP_LEN != 24 else "")
-        if not point and CLIP_LEN != 24:
-            point = scan(source_cells, "")
-            if point:
-                print(f"NOTE: no clip_len={CLIP_LEN} quality cell — gating "
-                      f"on the clip_len=24 cells for this prune/mode point.",
-                      file=sys.stderr)
-        if point:
-            weights_label = label
-            break
-    if not point:
+    cell, weights_label, n, borrowed = lookup_quality_cell(
+        matrix, head, CLIP_LEN)
+    if borrowed:
+        print(f"NOTE: no clip_len={CLIP_LEN} quality cell — gating "
+              f"on the clip_len=24 cells for this prune/mode point.",
+              file=sys.stderr)
+    if cell is None:
         print(f"WARNING: PRUNING_MATRIX.json has no cell for prune_k={PRUNE}"
               f"{suffix} — this operating point's quality is unmeasured "
               f"(tools/validate_pruning.py --matrix --merge / "
               f"tools/approx_quality_cells.py adds it).",
               file=sys.stderr)
     else:
-        delta = point[max(point)]["best_cosine_delta"]
+        delta = cell["best_cosine_delta"]
         if weights_label == "trained-tiny":
             print(f"quality gate: trained-tiny cell, best-cosine delta "
-                  f"{delta:+.4f} @n{max(point)}", file=sys.stderr)
+                  f"{delta:+.4f} @n{n}", file=sys.stderr)
         if delta > 0.01:
             print(f"WARNING: best-cosine delta at this operating point is "
                   f"{delta:+.4f} (> 0.01); treat the pruned throughput as "
                   f"quality-degraded ({weights_label}).",
                   file=sys.stderr)
+
+
+def best_quality_bounded_point():
+    """The fastest PUBLISHED operating point whose quality cell sits
+    under the 0.01 Δcos gate (VERDICT r3 item 7): reads LADDER.json
+    (published same-session caps/s + each point's gate-cell head) and
+    resolves each head against PRUNING_MATRIX.json (trained-weights
+    cells preferred). Returns a dict for the bench JSON line, or None."""
+    base = os.path.dirname(__file__)
+    lpath = os.path.join(base, "LADDER.json")
+    mpath = os.path.join(base, "PRUNING_MATRIX.json")
+    if not (os.path.exists(lpath) and os.path.exists(mpath)):
+        return None
+    with open(lpath) as f:
+        ladder = json.load(f)
+    with open(mpath) as f:
+        matrix = json.load(f)
+    best = None       # fastest point UNDER the gate
+    nearest = None    # smallest-delta point, reported when none is under
+    for pt in ladder.get("points", []):
+        cell, label, n, _ = lookup_quality_cell(matrix, pt["gate_cell"])
+        if cell is None:
+            continue
+        delta = cell["best_cosine_delta"]
+        entry = {
+            "config": pt["name"],
+            "captions_per_sec": pt["caps_per_s"],
+            "gate_cell": f"{pt['gate_cell']}@n{n}",
+            "best_cosine_delta": round(delta, 5),
+            "weights": label,
+            "under_gate": delta <= 0.01,
+            "session": pt.get("session"),
+        }
+        if delta <= 0.01 and (
+                best is None
+                or pt["caps_per_s"] > best["captions_per_sec"]):
+            best = entry
+        if nearest is None or delta < nearest["best_cosine_delta"]:
+            nearest = entry
+    return best or nearest
 
 
 def main():
@@ -388,6 +444,15 @@ def main():
             print(f"baseline measurement failed: {e}", file=sys.stderr)
     vs = (ours / baseline) if baseline else None
 
+    # alongside the full-parity headline (the driver-consumed "value"),
+    # report the published ladder's best under-gate quality-bounded point
+    # so one line carries both halves of the story (VERDICT r3 item 7)
+    quality_bounded = None
+    try:
+        quality_bounded = best_quality_bounded_point()
+    except Exception as e:  # the headline must never die on ladder parsing
+        print(f"quality-bounded lookup failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}"
                   + (f" clip_len={CLIP_LEN}" if CLIP_LEN != 24 else "")
@@ -401,6 +466,7 @@ def main():
         "value": round(ours, 4),
         "unit": "captions/sec",
         "vs_baseline": round(vs, 2) if vs else None,
+        "quality_bounded": quality_bounded,
     }))
 
 

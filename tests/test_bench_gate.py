@@ -217,6 +217,51 @@ def test_trained_cells_take_precedence(bench_mod, capsys):
     assert "quality-degraded" in err and "random-full" in err
 
 
+def test_best_quality_bounded_point(bench_mod):
+    """bench's JSON line carries the fastest PUBLISHED ladder point whose
+    gate cell is under 0.01 (VERDICT r3 item 7): over-gate points are
+    skipped, trained cells decide when present."""
+    base = os.path.dirname(bench_mod.__file__)
+    ladder = {"points": [
+        {"name": "fast-but-over", "caps_per_s": 95.0,
+         "gate_cell": "sequential/free/prune2+approx0.9", "session": "s"},
+        {"name": "fast-under", "caps_per_s": 82.0,
+         "gate_cell": "sequential/free/prune3+approx0.9", "session": "s"},
+        {"name": "slow-under", "caps_per_s": 52.0,
+         "gate_cell": "sequential/free/prune5", "session": "s"},
+    ]}
+    matrix = {
+        "weights": "random-full",
+        "cells": {
+            "sequential/free/prune2+approx0.9@n16":
+                {"best_cosine_delta": 0.0114},
+            "sequential/free/prune3+approx0.9@n32":
+                {"best_cosine_delta": 0.0083},
+            "sequential/free/prune5@n16": {"best_cosine_delta": 0.0063},
+        },
+    }
+    with open(os.path.join(base, "LADDER.json"), "w") as f:
+        json.dump(ladder, f)
+    with open(os.path.join(base, "PRUNING_MATRIX.json"), "w") as f:
+        json.dump(matrix, f)
+    pt = bench_mod.best_quality_bounded_point()
+    assert pt["config"] == "fast-under"
+    assert pt["captions_per_sec"] == 82.0
+    assert pt["gate_cell"] == "sequential/free/prune3+approx0.9@n32"
+    assert pt["weights"] == "random-full"
+    # a trained cell flips the decision: fast-under goes over-gate on
+    # semantic weights -> the slower point wins, labeled trained-tiny
+    matrix["trained"] = {"weights": "trained-tiny", "cells": {
+        "sequential/free/prune3+approx0.9@n32":
+            {"best_cosine_delta": 0.02},
+        "sequential/free/prune5@n32": {"best_cosine_delta": 0.001},
+    }}
+    with open(os.path.join(base, "PRUNING_MATRIX.json"), "w") as f:
+        json.dump(matrix, f)
+    pt = bench_mod.best_quality_bounded_point()
+    assert pt["config"] == "slow-under" and pt["weights"] == "trained-tiny"
+
+
 def test_cell_key_builder_matches_the_gate_grammar():
     """The producers build keys via tools/validate_pruning.cell_key;
     bench's gate matches its own standalone copy of the grammar. Pin the
