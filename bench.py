@@ -55,6 +55,10 @@ TOPK_RECALL = float(os.environ.get("CONZIC_BENCH_TOPK_RECALL", "0.95"))
 # "compare" = exact banned-id membership instead of the f32[V] mask gather
 MASK_IMPL = os.environ.get("CONZIC_BENCH_MASK_IMPL", "gather")
 QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
+# stage-1 scorer for the pruned tier: "proxy" (bag-of-embeddings) or
+# "factorized" (truncated-tower scorer; CONZIC_BENCH_STAGE1_LAYERS deep)
+STAGE1 = os.environ.get("CONZIC_BENCH_STAGE1", "proxy")
+STAGE1_LAYERS = int(os.environ.get("CONZIC_BENCH_STAGE1_LAYERS", "2"))
 # Engine compiler options: None = keep ConzicConfig's default (the
 # tools/flag_sweep.py winner, measured +3-5% full parity at B=32 —
 # config.py is the single source of truth). CONZIC_BENCH_XLA_OPTIONS
@@ -144,6 +148,8 @@ def build_captioner():
     if PRUNE:  # the sampler refuses approx mode without prune_k
         cfg.topk_mode = TOPK_MODE
         cfg.topk_recall = TOPK_RECALL
+        cfg.prune_stage1 = STAGE1
+        cfg.prune_stage1_layers = STAGE1_LAYERS
     if SMALL_MODELS:
         return Captioner.from_random(
             config=cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32
@@ -329,7 +335,8 @@ def check_prune_quality():
     # producers build keys via tools/validate_pruning.cell_key, and
     # tests/test_bench_gate.py cross-pins both against one regex; keep
     # the suffix ORDER in sync with cell_key when extending
-    suffix = f"+approx{TOPK_RECALL:g}" if TOPK_MODE == "approx" else ""
+    suffix = f"+fact{STAGE1_LAYERS}" if STAGE1 == "factorized" else ""
+    suffix += f"+approx{TOPK_RECALL:g}" if TOPK_MODE == "approx" else ""
     if PRUNE_FINAL_EXACT:  # hybrid runs gate on the hybrid's (tighter) cell
         suffix += "+final_exact"
     # quantized runs carry their own quality cells (tools/validate_pruning
@@ -457,6 +464,8 @@ def main():
         "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}"
                   + (f" clip_len={CLIP_LEN}" if CLIP_LEN != 24 else "")
                   + (f" prune_k={PRUNE}" if PRUNE else "")
+                  + (f" stage1=fact{STAGE1_LAYERS}"
+                     if PRUNE and STAGE1 == "factorized" else "")
                   + (" final_exact" if PRUNE and PRUNE_FINAL_EXACT else "")
                   + (f" topk=approx{TOPK_RECALL:g}"
                      if PRUNE and TOPK_MODE == "approx" else "")

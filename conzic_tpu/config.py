@@ -80,6 +80,16 @@ class ConzicConfig:
     # so the committed caption is a full-parity polish sweep over the
     # pruned state (the quality-bounded fast tier)
     prune_final_exact: bool = False
+    # stage-1 scorer for prune_k: "proxy" (bag-of-word-embeddings — the
+    # r2/r3 tier) or "factorized" — all k candidates scored by the FIRST
+    # prune_stage1_layers text-tower layers + a per-checkpoint
+    # least-squares-calibrated projection, then top prune_k exact-rescored.
+    # Measured ~10x lower per-step selection regret than the proxy on
+    # semantic weights (FACTORIZED_FIDELITY.json); costs ~N/L of a full
+    # candidate encode per candidate. Requires unrolled layers
+    # (scan_layers=False).
+    prune_stage1: str = "proxy"
+    prune_stage1_layers: int = 2
     # exact prefix-KV reuse: candidate sentences share their CLIP prefix up
     # to the edited word; chunking the position scan gives each chunk a
     # static prefix length whose K/V are computed once at batch width
@@ -157,6 +167,13 @@ class ConzicConfig:
         assert self.quant in ("none", "int8", "int8_all")
         assert self.mask_impl in ("gather", "compare")
         assert 1 <= self.clip_len <= 77
+        assert self.prune_stage1 in ("proxy", "factorized")
+        assert self.prune_stage1_layers >= 1
+        if self.prune_stage1 == "factorized":
+            assert self.prune_k > 0, "--prune_stage1 factorized requires --prune_k"
+            assert not self.scan_layers, (
+                "factorized stage-1 needs unrolled layer params "
+                "(scan_layers=False)")
 
 
 def add_reference_args(p: argparse.ArgumentParser) -> None:
@@ -207,6 +224,15 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    default=d.prune_final_exact,
                    help="with --prune_k: full-scoring final sweep (the "
                         "quality-bounded fast tier)")
+    p.add_argument("--prune_stage1", type=str, default=d.prune_stage1,
+                   choices=["proxy", "factorized"],
+                   help="stage-1 scorer for --prune_k: bag-of-embeddings "
+                        "proxy, or the truncated-tower factorized scorer "
+                        "(~10x lower selection regret, costs ~N/L of a "
+                        "full encode per candidate)")
+    p.add_argument("--prune_stage1_layers", type=int,
+                   default=d.prune_stage1_layers,
+                   help="text-tower layers the factorized stage-1 runs")
     p.add_argument("--bridge_mode", type=str, default=d.bridge_mode,
                    choices=["table", "exact"],
                    help="candidate CLIP-id assembly: on-device table "

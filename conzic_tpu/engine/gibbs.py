@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from conzic_tpu import energies
 from conzic_tpu.engine.orders import SPAN_LEN
 from conzic_tpu.models.bert import BertForMaskedLM
-from conzic_tpu.models.clip import CLIPModel
+from conzic_tpu.models.clip import (
+    CLIPModel,
+    CLIPTextTower,
+    truncated_text_params,
+)
 from conzic_tpu.text.bridge import (
     assemble_clip_ids,
     assemble_clip_ids_substitute,
@@ -77,6 +81,16 @@ class EngineSpec:
     # the committed final caption is the product of a full-parity polish
     # sweep over the pruned state (quality-bounded speed tier; VERDICT r2)
     final_exact: bool = False
+    # stage-1 scorer for prune_k: "proxy" (bag-of-embeddings) or
+    # "factorized" — all k candidates are assembled and scored through the
+    # first stage1_layers text-tower layers + the per-checkpoint
+    # calibrated projection (tables["stage1_wcal"]); the top prune_k are
+    # exact-rescored through the full tower. ~10x lower per-step
+    # selection regret than the proxy on semantic weights
+    # (FACTORIZED_FIDELITY.json) at ~k*stage1_layers/num_layers extra
+    # candidate-encode cost.
+    prune_stage1: str = "proxy"
+    stage1_layers: int = 2
     # exact prefix-KV reuse (see CLIPModel.encode_text_shared_prefix):
     # ((prefix_len, n_steps), ...) chunking of the per-iteration position
     # scan — each chunk's steps share a static lower bound on the candidates'
@@ -155,6 +169,7 @@ def _encode_candidates(
     clip_mask: jax.Array,
     prefix_len: int,
     prefix_kvs=None,
+    s1=None,
 ) -> jax.Array:
     """(B, k, L) candidate rows -> (B*k, D) text embeddings.
 
@@ -164,6 +179,12 @@ def _encode_candidates(
       - candidate-row chunking (``spec.clip_row_chunk``) — oversized
         B*k batches are scanned in fixed-size chunks to stay out of the
         XLA large-batch layout-copy regime.
+
+    ``s1``: optional ``(tower, tower_params, wcal)`` — encode through the
+    TRUNCATED text tower + calibrated projection instead (the factorized
+    stage-1 scorer). The prefix-KV cache is shared with the full tower:
+    its first ``tower.config.num_layers`` entries ARE the truncated
+    tower's prefix K/V (identical layer stacks).
     """
     if spec.clip_pad_to > clip_ids.shape[-1]:
         extra = spec.clip_pad_to - clip_ids.shape[-1]
@@ -177,6 +198,37 @@ def _encode_candidates(
 
     def encode(ids_bk, mask_bk):  # (B, kc, L) -> (B, kc, D)
         kc = ids_bk.shape[1]
+        if s1 is not None:
+            tower, tparams, wcal = s1
+            S = ids_bk.shape[2]
+            if P and prefix_kvs is not None:
+                n = tower.config.num_layers
+                pooled = tower.apply(
+                    {"params": tparams},
+                    ids_bk[:, :, P:].reshape(B * kc, S - P),
+                    mask_bk[:, :, P:].reshape(B * kc, S - P),
+                    pos_offset=P,
+                    prefix_kvs=list(prefix_kvs[:n]),
+                )
+            elif P:
+                _, kvs = tower.apply(
+                    {"params": tparams}, ids_bk[:, 0, :P], return_kvs=True
+                )
+                pooled = tower.apply(
+                    {"params": tparams},
+                    ids_bk[:, :, P:].reshape(B * kc, S - P),
+                    mask_bk[:, :, P:].reshape(B * kc, S - P),
+                    pos_offset=P,
+                    prefix_kvs=kvs,
+                )
+            else:
+                pooled = tower.apply(
+                    {"params": tparams},
+                    ids_bk.reshape(B * kc, S),
+                    mask_bk.reshape(B * kc, S),
+                )
+            emb = pooled.astype(jnp.float32) @ wcal
+            return emb.reshape(B, kc, emb.shape[-1])
         if P and prefix_kvs is not None:
             # prompt-constant prefix: K/V computed once per GENERATION
             # (run_generation), not per position
@@ -262,18 +314,80 @@ def _position_update(
         mode=spec.topk_mode, recall=spec.topk_recall, banned_ids=banned,
     )
 
-    if spec.prune_k is not None and spec.prune_k < k:
-        # stage-1 proxy: cos(image, normalize(bag + w[cand])); slot-
-        # exclusion semantics pinned in energies.prune_proxy_scores.
-        # Only the parallel order's base row is UNMASKED at the edited
-        # slot; every masked order skips the subtraction (exact no-op
-        # there — [MASK] embeds to 0 — and keeps the measured pruned
-        # tiers' HLO byte-identical to the pre-fix program)
-        proxy = energies.prune_proxy_scores(
-            tables["word_embeds"], base_ids, col, idxs, image_embeds,
-            spec.seq_len, exclude_slot=spec.order_kind == "parallel",
+    def _assemble(idxs_k):
+        """(B, k') candidate ids -> ((B,k',L) CLIP ids, mask, prefix bound)."""
+        kk = idxs_k.shape[1]
+        if spec.exact_bridge:
+            cand_ = jnp.broadcast_to(
+                base_ids[:, None, :], (B, kk, base_ids.shape[1]))
+            oh = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (base_ids.shape[1],), 0)[None, :]
+                == col[:, None]
+            )
+            cand_ = jnp.where(oh[:, None, :], idxs_k[:, :, None], cand_)
+            inner_ = cand_[:, :, 1 : spec.seq_len - 1]
+            out_shape = jax.ShapeDtypeStruct((B, kk, spec.clip_len), jnp.int32)
+            ids_, mask_ = jax.pure_callback(
+                host_bridge, (out_shape, out_shape), inner_
+            )
+            return ids_, mask_, 0  # the table prefix bound does not apply
+        ids_, mask_ = assemble_clip_ids_substitute(
+            base_ids[:, 1 : spec.seq_len - 1],
+            idxs_k,
+            col - 1,
+            tables["bridge_ids"],
+            tables["bridge_lens"],
+            bos_id=spec.clip_bos_id,
+            eos_id=spec.clip_eos_id,
+            pad_id=spec.clip_pad_id,
+            clip_len=spec.clip_len,
         )
-        _, keep = jax.lax.top_k(proxy, spec.prune_k)  # (B, k')
+        return ids_, mask_, prefix_len
+
+    preassembled = None
+    if spec.prune_k is not None and spec.prune_k < k:
+        if spec.prune_stage1 == "factorized":
+            # factorized stage-1: assemble ALL k candidates once and score
+            # them through the truncated tower + calibrated projection;
+            # survivors REUSE the assembled rows (gathered, not re-built).
+            # ~10x lower selection regret than the bag proxy on semantic
+            # weights (FACTORIZED_FIDELITY.json / BASELINE.md r4)
+            ids_all, mask_all, pl = _assemble(idxs)
+            s1_cfg = dataclasses.replace(
+                clip.config.text, num_layers=spec.stage1_layers)
+            s1_tower = CLIPTextTower(
+                s1_cfg, dtype=clip.dtype, attn_impl=clip.attn_impl,
+                quant=clip.quant)
+            s1_params = truncated_text_params(
+                params["clip"], spec.stage1_layers)
+            s1_emb = _encode_candidates(
+                spec, clip, params, ids_all, mask_all, pl, prefix_kvs,
+                s1=(s1_tower, s1_params, tables["stage1_wcal"]),
+            ).reshape(B, k, -1)
+            s1_emb = s1_emb / (
+                jnp.linalg.norm(s1_emb, axis=-1, keepdims=True) + 1e-6)
+            img_n = image_embeds.astype(jnp.float32)
+            img_n = img_n / jnp.linalg.norm(img_n, axis=-1, keepdims=True)
+            s1_scores = jnp.einsum("bkd,bd->bk", s1_emb, img_n)
+            _, keep = jax.lax.top_k(s1_scores, spec.prune_k)  # (B, k')
+            preassembled = (
+                jnp.take_along_axis(ids_all, keep[:, :, None], axis=1),
+                jnp.take_along_axis(mask_all, keep[:, :, None], axis=1),
+                pl,
+            )
+        else:
+            # stage-1 proxy: cos(image, normalize(bag + w[cand])); slot-
+            # exclusion semantics pinned in energies.prune_proxy_scores.
+            # Only the parallel order's base row is UNMASKED at the edited
+            # slot; every masked order skips the subtraction (exact no-op
+            # there — [MASK] embeds to 0 — and keeps the measured pruned
+            # tiers' HLO byte-identical to the pre-fix program)
+            proxy = energies.prune_proxy_scores(
+                tables["word_embeds"], base_ids, col, idxs, image_embeds,
+                spec.seq_len, exclude_slot=spec.order_kind == "parallel",
+            )
+            _, keep = jax.lax.top_k(proxy, spec.prune_k)  # (B, k')
         idxs = jnp.take_along_axis(idxs, keep, axis=1)
         top_probs = jnp.take_along_axis(top_probs, keep, axis=1)
         k = spec.prune_k
@@ -286,31 +400,17 @@ def _position_update(
     )  # (B, S)
     cand = jnp.where(onehot[:, None, :], idxs[:, :, None], cand)
 
-    # CLIP scoring over the caption span (prompt + sentence, no CLS/SEP)
+    # CLIP scoring over the caption span (prompt + sentence, no CLS/SEP).
+    # Assembly is the substitution form (base stream + one edited word —
+    # avoids per-candidate scalar-core gathers; tests/test_bridge.py) or
+    # the host-exact decode->re-tokenize callback (gen_utils.py:75 +
+    # clip/clip.py:71-73); the factorized stage-1 already assembled and
+    # gathered the survivors' rows above.
     inner = cand[:, :, 1 : spec.seq_len - 1]
-    if spec.exact_bridge:
-        # host-exact assembly: reference decode -> re-tokenize semantics
-        # (gen_utils.py:75 + clip/clip.py:71-73), '##' merging included
-        out_shape = jax.ShapeDtypeStruct((B, k, spec.clip_len), jnp.int32)
-        clip_ids, clip_mask = jax.pure_callback(
-            host_bridge, (out_shape, out_shape), inner
-        )
-        prefix_len = 0  # the table-based prefix bound does not apply
+    if preassembled is not None:
+        clip_ids, clip_mask, prefix_len = preassembled
     else:
-        # substitution form: base stream + one edited word per candidate —
-        # avoids the per-candidate scalar-core gathers of the general
-        # assembly (identical outputs, tests/test_bridge.py)
-        clip_ids, clip_mask = assemble_clip_ids_substitute(
-            base_ids[:, 1 : spec.seq_len - 1],
-            idxs,
-            col - 1,
-            tables["bridge_ids"],
-            tables["bridge_lens"],
-            bos_id=spec.clip_bos_id,
-            eos_id=spec.clip_eos_id,
-            pad_id=spec.clip_pad_id,
-            clip_len=spec.clip_len,
-        )
+        clip_ids, clip_mask, prefix_len = _assemble(idxs)
     text_embeds = _encode_candidates(
         spec, clip, params, clip_ids, clip_mask, prefix_len, prefix_kvs
     )

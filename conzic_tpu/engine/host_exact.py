@@ -52,12 +52,6 @@ class _HostEngine:
     """Jitted device steps + host exact steps for one generation run."""
 
     def __init__(self, cap, spec, hyper, tables, B):
-        if spec.prune_k is not None:
-            raise NotImplementedError(
-                "prune_k is not supported in the host-stepped exact mode "
-                "(use a host-callback-capable backend for pruned exact "
-                "runs, or drop one of the exact modes)"
-            )
         self.cap = cap
         self.spec = spec
         self.hyper = hyper
@@ -125,10 +119,14 @@ class _HostEngine:
         @jax.jit
         def score(clip_ids, clip_mask, top_probs, cand, idxs, image_embeds,
                   host_ctl_scores):
+            # candidate width from the input shape: the pruned tiers score
+            # spec.prune_k survivors, the full tiers (and the hybrid's
+            # final sweep) the full k — one jit, retraced per width
+            kw = clip_ids.shape[1]
             text_embeds = clip.apply(
                 {"params": params["clip"]},
-                clip_ids.reshape(B * k, -1),
-                clip_mask.reshape(B * k, -1),
+                clip_ids.reshape(B * kw, -1),
+                clip_mask.reshape(B * kw, -1),
                 method=CLIPModel.encode_text,
             )
             clip_probs, cosine = clip.apply(
@@ -137,7 +135,7 @@ class _HostEngine:
             )
             ctl_probs = None
             penalty = None
-            ctl_score = jnp.zeros((B, k), jnp.float32)
+            ctl_score = jnp.zeros((B, kw), jnp.float32)
             if spec.ctl is not None and spec.ctl_mode == "exact":
                 ctl_score = host_ctl_scores
                 if spec.ctl == "sentiment":
@@ -178,6 +176,63 @@ class _HostEngine:
                 pad_id=spec.clip_pad_id, clip_len=spec.clip_len,
             )
 
+        # stage-1 pruning (gibbs._position_update semantics), host-stepped:
+        # exact-bridge/exact-ctl audits of the pruned tiers need this on
+        # callback-free backends (VERDICT r3 weak #6)
+        self.prune_keep = None
+        self.s1_score = None
+        if spec.prune_k is not None and spec.prune_k < k:
+            if spec.prune_stage1 == "factorized":
+                import dataclasses as _dc
+
+                from conzic_tpu.models.clip import (
+                    CLIPTextTower,
+                    truncated_text_params,
+                )
+
+                tcfg = _dc.replace(
+                    clip.config.text, num_layers=spec.stage1_layers)
+                tower = CLIPTextTower(tcfg, dtype=clip.dtype,
+                                      attn_impl=clip.attn_impl,
+                                      quant=clip.quant)
+                tparams = truncated_text_params(
+                    params["clip"], spec.stage1_layers)
+                wcal = tables["stage1_wcal"]
+
+                @jax.jit
+                def s1_score(clip_ids, clip_mask, image_embeds):
+                    """(B, k, L) assembled rows -> (B, k) stage-1 cosines
+                    (truncated tower + calibrated projection)."""
+                    kk, L = clip_ids.shape[1], clip_ids.shape[2]
+                    pooled = tower.apply(
+                        {"params": tparams},
+                        clip_ids.reshape(B * kk, L),
+                        clip_mask.reshape(B * kk, L),
+                    )
+                    emb = (pooled.astype(jnp.float32) @ wcal).reshape(
+                        B, kk, -1)
+                    emb = emb / (
+                        jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
+                    img = image_embeds.astype(jnp.float32)
+                    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+                    return jnp.einsum("bkd,bd->bk", emb, img)
+
+                self.s1_score = s1_score
+            else:
+                word_embeds = tables["word_embeds"]
+
+                @jax.jit
+                def prune_keep(base_ids, col, idxs, image_embeds):
+                    proxy = energies.prune_proxy_scores(
+                        word_embeds, base_ids, col, idxs, image_embeds,
+                        spec.seq_len,
+                        exclude_slot=spec.order_kind == "parallel",
+                    )
+                    _, keep = jax.lax.top_k(proxy, spec.prune_k)
+                    return keep
+
+                self.prune_keep = prune_keep
+
         self.propose = propose
         self.span_logits = span_logits
         self.topk_from_logits = topk_from_logits
@@ -194,31 +249,73 @@ class _HostEngine:
             np.asarray(self.tables["mask_mid"])[None, :],
         )
 
+    def _assemble(self, cand):
+        """(B, k', S) candidate rows -> assembled CLIP (ids, mask) via the
+        host bridge (exact mode) or the on-device table form."""
+        inner = cand[:, :, 1 : self.spec.seq_len - 1]
+        if self.host_bridge is not None:
+            clip_ids, clip_mask = self.host_bridge(inner)
+            return jnp.asarray(clip_ids), jnp.asarray(clip_mask)
+        return self.table_bridge(jnp.asarray(inner))
+
     def update(self, base_ids, commit_ids, pos, top_probs, idxs,
-               image_embeds):
-        """Score k candidates at per-row ``pos`` built from ``base_ids``
+               image_embeds, prune=True):
+        """Score candidates at per-row ``pos`` built from ``base_ids``
         and commit the argmax into ``commit_ids`` (host copy of
-        gibbs._position_update)."""
+        gibbs._position_update). ``prune=False`` disables the stage-1
+        cut for this step (the hybrid final_exact sweep)."""
         spec, B, k = self.spec, self.B, self.k
         col = spec.seed_len + pos
         idxs_np = np.asarray(idxs)
-        cand = np.repeat(np.asarray(base_ids)[:, None, :], k, axis=1)
-        cand[
-            np.arange(B)[:, None], np.arange(k)[None, :], col[:, None]
-        ] = idxs_np
+        top_probs_np = np.asarray(top_probs)
+        prune_on = (
+            prune and spec.prune_k is not None and spec.prune_k < k
+        )
+
+        if prune_on and self.prune_keep is not None:
+            # proxy stage-1 cuts BEFORE assembly (gibbs assembles only the
+            # survivors in proxy mode)
+            keep = np.asarray(self.prune_keep(
+                jnp.asarray(base_ids), jnp.asarray(col),
+                jnp.asarray(idxs_np), image_embeds,
+            ))
+            idxs_np = np.take_along_axis(idxs_np, keep, axis=1)
+            top_probs_np = np.take_along_axis(top_probs_np, keep, axis=1)
+            k = spec.prune_k
+
+        def build_cand(ids_k):
+            kk = ids_k.shape[1]
+            c = np.repeat(np.asarray(base_ids)[:, None, :], kk, axis=1)
+            c[
+                np.arange(B)[:, None], np.arange(kk)[None, :], col[:, None]
+            ] = ids_k
+            return c
+
+        cand = build_cand(idxs_np)
+        clip_ids, clip_mask = self._assemble(cand)
+
+        if prune_on and self.s1_score is not None:
+            # factorized stage-1 scores ALL assembled rows, then the
+            # survivors' rows are gathered (gibbs reuses them identically)
+            s1 = np.asarray(self.s1_score(clip_ids, clip_mask, image_embeds))
+            # mirror lax.top_k: descending, ties to the lower index
+            keep = np.argsort(-s1, axis=1, kind="stable")[:, : spec.prune_k]
+            idxs_np = np.take_along_axis(idxs_np, keep, axis=1)
+            top_probs_np = np.take_along_axis(top_probs_np, keep, axis=1)
+            cand = np.take_along_axis(cand, keep[:, :, None], axis=1)
+            keep_j = jnp.asarray(keep)[:, :, None]
+            clip_ids = jnp.take_along_axis(clip_ids, keep_j, axis=1)
+            clip_mask = jnp.take_along_axis(clip_mask, keep_j, axis=1)
+            k = spec.prune_k
+
         inner = cand[:, :, 1 : spec.seq_len - 1]
-        if self.host_bridge is not None:
-            clip_ids, clip_mask = self.host_bridge(inner)
-            clip_ids, clip_mask = jnp.asarray(clip_ids), jnp.asarray(clip_mask)
-        else:
-            clip_ids, clip_mask = self.table_bridge(jnp.asarray(inner))
         ctl_scores = (
             jnp.asarray(self.host_ctl(inner))
             if self.host_ctl is not None
             else jnp.zeros((B, k), jnp.float32)
         )
         chosen, cos_sel, ctl_sel = self.score(
-            clip_ids, clip_mask, jnp.asarray(top_probs),
+            clip_ids, clip_mask, jnp.asarray(top_probs_np),
             jnp.asarray(cand), jnp.asarray(idxs_np), image_embeds,
             ctl_scores,
         )
@@ -265,6 +362,10 @@ def run_generation_host(cap, spec, image_embeds, init_ids, positions,
     for it in range(iters):
         cos = np.zeros((B,), np.float32)
         ctl = np.zeros((B,), np.float32)
+        # hybrid (final_exact): the LAST iteration re-sweeps with full
+        # k-candidate scoring — same schedule as gibbs.run_generation's
+        # final_iteration
+        prune_it = not (spec.final_exact and it == iters - 1)
         if spec.order_kind == "single":
             for s in range(positions.shape[1]):
                 pos = np.asarray(positions[it, s])
@@ -275,7 +376,7 @@ def run_generation_host(cap, spec, image_embeds, init_ids, positions,
                 )
                 ids, cos, ctl = eng.update(
                     np.asarray(masked), np.asarray(masked), pos,
-                    top_probs, idxs, image_embeds,
+                    top_probs, idxs, image_embeds, prune=prune_it,
                 )
         elif spec.order_kind == "span":
             for s in range(positions.shape[1]):
@@ -297,7 +398,8 @@ def run_generation_host(cap, spec, image_embeds, init_ids, positions,
                         logits_span[:, j], jnp.asarray(token_mask)
                     )
                     ids, cos, ctl = eng.update(
-                        ids, ids, pos, top_probs, idxs, image_embeds
+                        ids, ids, pos, top_probs, idxs, image_embeds,
+                        prune=prune_it,
                     )
         elif spec.order_kind == "parallel":
             base = ids.copy()  # candidates built from iteration-start rows
@@ -320,7 +422,8 @@ def run_generation_host(cap, spec, image_embeds, init_ids, positions,
                     logits_all[:, kk], jnp.asarray(mask_last)
                 )
                 ids, cos, ctl = eng.update(
-                    base, ids, pos, top_probs, idxs, image_embeds
+                    base, ids, pos, top_probs, idxs, image_embeds,
+                    prune=prune_it,
                 )
         else:
             raise ValueError(spec.order_kind)

@@ -379,6 +379,80 @@ class Captioner:
         emb = self._encode_image_jit(self.params["clip"], pixels)
         return emb[:B] if pad else emb
 
+    def _ensure_stage1_calibration(self, n_sentences: int = 2048,
+                                   seed: int = 0) -> None:
+        """Lazily fit the factorized stage-1's calibrated projection
+        (tables["stage1_wcal"], (H, D) fp32): least-squares map from the
+        truncated tower's pooled states to the FULL tower's projected
+        embeddings, fit on random bridge-assembled word sequences.
+        Checkpoint-specific and cheap (one chunked encode pass + an HxH
+        host solve) — viable for real checkpoints too. Recomputed when
+        prune_stage1_layers or clip_len changes."""
+        import dataclasses as _dc
+
+        from conzic_tpu.models.clip import (
+            CLIPTextTower,
+            truncated_text_params,
+        )
+
+        n_layers = self.cfg.prune_stage1_layers
+        full_layers = self.clip_model.config.text.num_layers
+        if not 1 <= n_layers < full_layers:
+            raise ValueError(
+                f"prune_stage1_layers={n_layers} must be in [1, "
+                f"{full_layers - 1}] (full tower has {full_layers} layers)")
+        if self.cfg.scan_layers:
+            raise ValueError(
+                "factorized stage-1 needs unrolled layer params "
+                "(scan_layers=False)")
+        meta = (n_layers, self.cfg.clip_len)
+        if ("stage1_wcal" in self.tables
+                and getattr(self, "_stage1_meta", None) == meta):
+            return
+        br = self.bridge
+        rng = np.random.RandomState(seed)
+        lens = np.asarray(br.lens)
+        valid = np.where(lens > 0)[0]
+        L = self.cfg.clip_len
+        rows = np.full((n_sentences, L), br.pad_id, np.int32)
+        mask = np.zeros((n_sentences, L), np.int32)
+        ids_tab = np.asarray(br.ids)
+        for i in range(n_sentences):
+            row = [br.bos_id]
+            for w in rng.choice(valid, rng.randint(3, 13)):
+                row.extend(ids_tab[w][: lens[w]].tolist())
+                if len(row) >= L - 1:
+                    break
+            row = row[: L - 1] + [br.eos_id]
+            rows[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+
+        from conzic_tpu.models.clip import CLIPModel as _CM
+
+        tcfg = _dc.replace(self.clip_model.config.text, num_layers=n_layers)
+        tower = CLIPTextTower(tcfg, dtype=self.clip_model.dtype,
+                              attn_impl=self.cfg.attn_impl,
+                              quant=self.clip_model.quant)
+        encode_full = jax.jit(lambda p, i, m: self.clip_model.apply(
+            {"params": p}, i, m, method=_CM.encode_text))
+        encode_trunc = jax.jit(lambda p, i, m: tower.apply({"params": p}, i, m))
+        tparams = truncated_text_params(self.params["clip"], n_layers)
+        chunk = 1024
+        tgt, pooled = [], []
+        for s in range(0, n_sentences, chunk):
+            i_c = jnp.asarray(rows[s : s + chunk])
+            m_c = jnp.asarray(mask[s : s + chunk])
+            tgt.append(np.asarray(encode_full(self.params["clip"], i_c, m_c),
+                                  np.float32))
+            pooled.append(np.asarray(encode_trunc(tparams, i_c, m_c),
+                                     np.float32))
+        y = np.concatenate(tgt).astype(np.float64)
+        h = np.concatenate(pooled).astype(np.float64)
+        w = np.linalg.solve(h.T @ h + 1e-3 * np.eye(h.shape[1]), h.T @ y)
+        self.tables["stage1_wcal"] = mesh_lib.replicate(
+            self.mesh, jnp.asarray(w.astype(np.float32)))
+        self._stage1_meta = meta
+
     def init_ids(self, prompt: str, max_len: int, batch_size: int) -> np.ndarray:
         """[CLS] prompt [MASK]*L [SEP], replicated (utils.py:46-51)."""
         text = prompt + self.wp.mask_token * max_len
@@ -581,6 +655,8 @@ class Captioner:
             order_kind=order_kind,
             prune_k=prune_k,
             final_exact=bool(final_exact and prune_k is not None),
+            prune_stage1=self.cfg.prune_stage1,
+            stage1_layers=self.cfg.prune_stage1_layers,
             prefix_chunks=None if exact else prefix_chunks,
             clip_row_chunk=row_chunk,
             clip_pad_to=self._clip_pad_to(),
@@ -729,7 +805,10 @@ class Captioner:
         if prune_k is not None and prune_k >= top_k:
             prune_k = None
         if prune_k is not None:
-            self._ensure_word_embeds()
+            if self.cfg.prune_stage1 == "factorized":
+                self._ensure_stage1_calibration()
+            else:
+                self._ensure_word_embeds()
         if self.cfg.mask_impl == "compare":
             self._ensure_banned_tables()
         tables = self.tables
@@ -775,7 +854,10 @@ class Captioner:
         if spec.ctl is not None and spec.ctl_mode == "table":
             need |= {"senti", "pos", "template"}
         if spec.prune_k is not None:
-            need.add("word_embeds")
+            if spec.prune_stage1 == "factorized":
+                need.add("stage1_wcal")
+            else:
+                need.add("word_embeds")
         if spec.mask_impl == "compare":
             need |= {"banned_mid", "banned_last"}
         tables = {k: v for k, v in tables.items() if k in need}

@@ -190,6 +190,29 @@ class CLIPVisionTower(nn.Module):
         )
 
 
+def truncated_text_params(clip_params, n_layers: int):
+    """First-``n_layers`` subtree of the text tower (+ embeddings + final
+    LN) — the parameter pytree a truncated :class:`CLIPTextTower`
+    (``num_layers=n_layers``) applies. References the SAME arrays as the
+    full params (no device copies); used by the factorized stage-1
+    scorer (engine/gibbs.py) and tools/factorized_fidelity.py.
+
+    Unrolled layer naming only — scan-stacked params (scan_layers) store
+    layers as one stacked tree and cannot be truncated this way."""
+    tm = clip_params["text_model"]
+    if "layer_0" not in tm["encoder"]:
+        raise ValueError(
+            "truncated_text_params requires unrolled layer params "
+            "(scan_layers=False)")
+    enc = {f"layer_{i}": tm["encoder"][f"layer_{i}"] for i in range(n_layers)}
+    return {
+        "token_embedding": tm["token_embedding"],
+        "position_embedding": tm["position_embedding"],
+        "encoder": enc,
+        "final_ln": tm["final_ln"],
+    }
+
+
 class CLIPModel(nn.Module):
     """Dual tower + projections + logit_scale.
 

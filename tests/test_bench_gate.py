@@ -45,11 +45,13 @@ def bench_mod(tmp_path, monkeypatch):
 
 
 def _gate_stderr(bench, capsys, *, prune, mode="exact", recall=0.95,
-                 final_exact=False, quant="none"):
+                 final_exact=False, quant="none", stage1="proxy",
+                 stage1_layers=2):
     for name, val in (("PRUNE", prune), ("TOPK_MODE", mode),
                       ("TOPK_RECALL", recall),
                       ("PRUNE_FINAL_EXACT", final_exact),
-                      ("QUANT", quant)):
+                      ("QUANT", quant), ("STAGE1", stage1),
+                      ("STAGE1_LAYERS", stage1_layers)):
         setattr(bench, name, val)
     bench.EFFECTIVE.pop("quant", None)  # gate falls back to QUANT
     bench.check_prune_quality()
@@ -174,6 +176,27 @@ def test_quant_run_never_borrows_the_fp_cell(bench_mod, capsys):
     assert capsys.readouterr().err == ""
 
 
+def test_factorized_run_gates_on_its_fact_cell(bench_mod, capsys):
+    # a factorized-stage1 bench must not borrow the proxy cell (different
+    # stage-1 scorer = different quality), and gates on +fact<N> cells
+    err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized")
+    assert "no cell" in err and "prune_k=5+fact2" in err
+    cells = {
+        "sequential/free/prune5": {"best_cosine_delta": 0.02},
+        "sequential/free/prune5+fact2": {"best_cosine_delta": 0.002},
+    }
+    path = os.path.join(os.path.dirname(bench_mod.__file__),
+                        "PRUNING_MATRIX.json")
+    with open(path, "w") as f:
+        json.dump({"weights": "synthetic", "cells": cells}, f)
+    assert _gate_stderr(bench_mod, capsys, prune=5,
+                        stage1="factorized") == ""
+    # layer count is part of the operating point
+    err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized",
+                       stage1_layers=1)
+    assert "no cell" in err and "prune_k=5+fact1" in err
+
+
 def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
     err = _gate_stderr(bench_mod, capsys, prune=7, mode="approx", recall=0.9)
     assert "no cell" in err and "prune_k=7+approx0.9" in err
@@ -276,23 +299,26 @@ def test_cell_key_builder_matches_the_gate_grammar():
 
     pat = re.compile(
         r"^(sequential|shuffle|span|random|parallel)/"
-        r"(free|sentiment|pos)/prune\d+"
+        r"(free|sentiment|pos)/prune\d+(\+fact\d+)?"
         r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
         r"(@n\d+)?(@len\d+)?(@s\d+)?$"
     )
-    for mode, fe, quant, n, ln, seed in itertools.product(
+    for mode, fe, quant, n, ln, seed, s1 in itertools.product(
         ("exact", "approx"), (False, True), ("none", "int8", "int8_all"),
-        (4, 16), (24, 77), (0, 1),
+        (4, 16), (24, 77), (0, 1), ("proxy", "factorized"),
     ):
         key = cell_key(ctl="pos", prune_k=5, topk_mode=mode, recall=0.9,
                        final_exact=fe, quant=quant, n_images=n,
-                       clip_len=ln, seed=seed)
+                       clip_len=ln, seed=seed, stage1=s1)
         assert pat.match(key), key
     # and the exact strings bench's gate builds for its lookups
     assert cell_key(prune_k=5) == "sequential/free/prune5"
     assert cell_key(prune_k=5, topk_mode="approx", recall=0.95,
                     final_exact=True, quant="int8_all") == \
         "sequential/free/prune5+approx0.95+final_exact+int8_all"
+    assert cell_key(prune_k=3, stage1="factorized", stage1_layers=1,
+                    topk_mode="approx", recall=0.9) == \
+        "sequential/free/prune3+fact1+approx0.9"
 
 
 def test_committed_matrix_keys_parse():
@@ -309,7 +335,7 @@ def test_committed_matrix_keys_parse():
         matrix = json.load(f)
     pat = re.compile(
         r"^(sequential|shuffle|span|random|parallel)/"
-        r"(free|sentiment|pos)/prune\d+"
+        r"(free|sentiment|pos)/prune\d+(\+fact\d+)?"
         r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
         r"(@n\d+)?(@len\d+)?(@s\d+)?$"
     )

@@ -1,0 +1,213 @@
+"""Factorized stage-1 (`--prune_stage1 factorized`): truncated-tower
+candidate scoring + calibrated projection, exact-rescore of the top
+prune_k (VERDICT r3 item 2; fidelity basis in FACTORIZED_FIDELITY.json).
+
+The oracle test recomposes one engine step from the same primitives
+OUTSIDE the engine (BERT probs -> top-k -> substitution assembly ->
+truncated tower + W_cal -> stage-1 top-m -> full tower -> combined
+score argmax) and pins the engine's committed token against it — the
+wiring (selection flow, gathers, assembled-row reuse) is what it checks.
+"""
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from conzic_tpu import energies  # noqa: E402
+from conzic_tpu.config import ConzicConfig  # noqa: E402
+from conzic_tpu.engine.sampler import Captioner  # noqa: E402
+from conzic_tpu.models.clip import (  # noqa: E402
+    CLIPModel,
+    CLIPTextTower,
+    truncated_text_params,
+)
+from conzic_tpu.text.bridge import assemble_clip_ids_substitute  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def cap():
+    cfg = ConzicConfig()
+    cfg.verbose = False
+    cfg.dtype = "float32"
+    cfg.param_dtype = "float32"
+    cfg.prune_k = 4
+    cfg.prune_stage1 = "factorized"
+    cfg.prune_stage1_layers = 1
+    return Captioner.from_random(cfg, init_mode="proper")
+
+
+def test_factorized_tables_and_calibration(cap):
+    cap._ensure_stage1_calibration(n_sentences=64)
+    w = np.asarray(cap.tables["stage1_wcal"])
+    H = cap.clip_model.config.text.hidden_size
+    D = cap.clip_model.config.projection_dim
+    assert w.shape == (H, D)
+    # deterministic refit
+    w2_meta = cap._stage1_meta
+    cap._ensure_stage1_calibration(n_sentences=64)
+    assert cap._stage1_meta == w2_meta
+    np.testing.assert_array_equal(w, np.asarray(cap.tables["stage1_wcal"]))
+    # layer-count change forces a refit
+    cap.cfg.prune_stage1_layers = 1  # unchanged -> cached
+    cap._ensure_stage1_calibration(n_sentences=64)
+    np.testing.assert_array_equal(w, np.asarray(cap.tables["stage1_wcal"]))
+
+
+def test_factorized_rejects_bad_configs(cap):
+    full = cap.clip_model.config.text.num_layers
+    cap.cfg.prune_stage1_layers = full
+    with pytest.raises(ValueError):
+        cap._ensure_stage1_calibration(n_sentences=16)
+    cap.cfg.prune_stage1_layers = 1
+    cfg = ConzicConfig()
+    cfg.prune_stage1 = "factorized"
+    cfg.prune_k = 4
+    cfg.scan_layers = True
+    with pytest.raises(AssertionError):
+        cfg.validate()
+
+
+def test_factorized_engine_matches_recomposed_oracle(cap):
+    B, K = 3, 16
+    prompt = "Image of a"
+    rng = np.random.RandomState(0)
+    D = cap.clip_model.config.projection_dim
+    embeds = jnp.asarray(rng.randn(B, D).astype(np.float32))
+
+    res = cap.run(embeds, prompt=prompt, max_len=1, top_k=K,
+                  temperature=0.1, max_iter=1, alpha=0.02, beta=2.0,
+                  order="sequential", rng=np.random.RandomState(7),
+                  prune_k=4)
+    committed = np.asarray(res.iter_ids[-1])  # (B, S)
+    seed_len = cap.seed_len(prompt)
+    col = seed_len  # the single sentence slot
+    got = committed[:, col]
+
+    # ---- recompose the same step outside the engine ----
+    init = jnp.asarray(cap.init_ids(prompt, 1, B))  # [MASK] at col already
+    bert_logits = cap.bert_model.apply(
+        {"params": cap.params["bert"]}, init)[:, col, :]
+    probs = energies.masked_lm_probs(
+        bert_logits, cap.tables["mask_last"], jnp.float32(0.1))
+    top_probs, idxs = energies.topk_candidates(
+        probs, cap.tables["mask_last"][None, :], K,
+        chunk=cap.cfg.topk_chunk)
+    inner = init[:, 1 : init.shape[1] - 1]
+    ids_all, mask_all = assemble_clip_ids_substitute(
+        inner, idxs, jnp.full((B,), col - 1),
+        cap.tables["bridge_ids"], cap.tables["bridge_lens"],
+        bos_id=cap.bridge.bos_id, eos_id=cap.bridge.eos_id,
+        pad_id=cap.bridge.pad_id, clip_len=cap.cfg.clip_len)
+
+    cap._ensure_stage1_calibration()
+    wcal = cap.tables["stage1_wcal"]
+    tcfg = dataclasses.replace(cap.clip_model.config.text, num_layers=1)
+    tower = CLIPTextTower(tcfg, dtype=cap.clip_model.dtype)
+    tparams = truncated_text_params(cap.params["clip"], 1)
+    L = ids_all.shape[-1]
+    pooled = tower.apply({"params": tparams},
+                         ids_all.reshape(B * K, L),
+                         mask_all.reshape(B * K, L))
+    s1 = (pooled.astype(jnp.float32) @ wcal).reshape(B, K, -1)
+    s1 = s1 / (jnp.linalg.norm(s1, axis=-1, keepdims=True) + 1e-6)
+    img_n = embeds / jnp.linalg.norm(embeds, axis=-1, keepdims=True)
+    s1_scores = jnp.einsum("bkd,bd->bk", s1, img_n)
+    _, keep = jax.lax.top_k(s1_scores, 4)
+    idxs_kept = jnp.take_along_axis(idxs, keep, axis=1)
+    probs_kept = jnp.take_along_axis(top_probs, keep, axis=1)
+    ids_kept = jnp.take_along_axis(ids_all, keep[:, :, None], axis=1)
+    mask_kept = jnp.take_along_axis(mask_all, keep[:, :, None], axis=1)
+
+    emb_full = cap.clip_model.apply(
+        {"params": cap.params["clip"]},
+        ids_kept.reshape(B * 4, L), mask_kept.reshape(B * 4, L),
+        method=CLIPModel.encode_text)
+    clip_probs, _cos = cap.clip_model.apply(
+        {"params": cap.params["clip"]}, embeds, emb_full,
+        method=CLIPModel.similarity)
+    final = energies.combine_scores(
+        probs_kept, clip_probs, jnp.float32(0.02), jnp.float32(2.0))
+    sel = jnp.argmax(final, axis=1)
+    expected = np.asarray(
+        jnp.take_along_axis(idxs_kept, sel[:, None], axis=1))[:, 0]
+
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_factorized_differs_from_proxy_and_uses_wcal_table(cap):
+    B, K = 2, 24
+    rng = np.random.RandomState(3)
+    D = cap.clip_model.config.projection_dim
+    embeds = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    kw = dict(prompt="Image of a", max_len=5, top_k=K, temperature=0.1,
+              max_iter=2, alpha=0.02, beta=2.0, order="sequential",
+              prune_k=3)
+    res_f = cap.run(embeds, rng=np.random.RandomState(5), **kw)
+    # spec-filtered tables: the factorized program consumes the wcal
+    # table and NOT the proxy's word_embeds
+    cap.cfg.prune_stage1 = "proxy"
+    try:
+        res_p = cap.run(embeds, rng=np.random.RandomState(5), **kw)
+    finally:
+        cap.cfg.prune_stage1 = "factorized"
+    assert not np.array_equal(np.asarray(res_f.iter_ids[-1]),
+                              np.asarray(res_p.iter_ids[-1])), (
+        "factorized and proxy stage-1 selected identical trajectories — "
+        "wiring suspicious")
+
+
+def _host_vs_callback_pruned(monkeypatch, *, stage1, final_exact=False,
+                             ctl=None):
+    """Pruned run, host-stepped vs pure_callback engine — byte-identical
+    (host_exact prune_k support, VERDICT r3 weak #6)."""
+    from conzic_tpu.engine import host_exact
+
+    results = {}
+    for host in (False, True):
+        cfg = ConzicConfig()
+        cfg.verbose = False
+        cfg.dtype = "float32"
+        cfg.param_dtype = "float32"
+        cfg.bridge_mode = "exact"
+        cfg.prune_k = 3
+        cfg.prune_stage1 = stage1
+        cfg.prune_stage1_layers = 1
+        cfg.prune_final_exact = final_exact
+        c = Captioner.from_random(cfg, init_mode="proper", seed=11)
+        monkeypatch.setattr(
+            host_exact, "supports_host_callbacks", lambda h=host: not h
+        )
+        rng = np.random.RandomState(0)
+        embeds = jnp.asarray(
+            rng.randn(2, c.clip_model.config.projection_dim).astype(
+                np.float32))
+        results[host] = c.run(
+            embeds, prompt="Image of a", max_len=4, top_k=8,
+            temperature=0.1, max_iter=2, alpha=0.02, beta=2.0,
+            gamma=5.0 if ctl else 0.0, order="sequential", ctl=ctl,
+            prune_k=3)
+    np.testing.assert_array_equal(
+        results[False].iter_ids, results[True].iter_ids)
+    np.testing.assert_allclose(
+        results[False].best_cos, results[True].best_cos, rtol=0, atol=1e-5)
+    assert results[False].gen_texts_list == results[True].gen_texts_list
+
+
+def test_host_stepped_pruned_proxy_matches_callback(monkeypatch):
+    _host_vs_callback_pruned(monkeypatch, stage1="proxy")
+
+
+def test_host_stepped_pruned_factorized_matches_callback(monkeypatch):
+    _host_vs_callback_pruned(monkeypatch, stage1="factorized")
+
+
+def test_host_stepped_pruned_hybrid_matches_callback(monkeypatch):
+    _host_vs_callback_pruned(monkeypatch, stage1="proxy", final_exact=True)

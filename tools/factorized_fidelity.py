@@ -38,18 +38,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def truncated_text_params(clip_params, n_layers: int):
-    """First-N-layers subtree of the text tower (+ embeddings + final LN)."""
-    tm = clip_params["text_model"]
-    enc = {f"layer_{i}": tm["encoder"][f"layer_{i}"] for i in range(n_layers)}
-    return {
-        "token_embedding": tm["token_embedding"],
-        "position_embedding": tm["position_embedding"],
-        "encoder": enc,
-        "final_ln": tm["final_ln"],
-    }
-
-
 def fit_calibration(pooled: np.ndarray, target: np.ndarray,
                     l2: float = 1e-3) -> np.ndarray:
     """Ridge least-squares map from truncated pooled states (B, H) to
@@ -89,7 +77,11 @@ def main():
     from conzic_tpu.data.synthetic import build_dataset, caption_words
     from conzic_tpu.energies import prune_proxy_scores
     from conzic_tpu.engine.sampler import Captioner
-    from conzic_tpu.models.clip import CLIPModel, CLIPTextTower
+    from conzic_tpu.models.clip import (
+        CLIPModel,
+        CLIPTextTower,
+        truncated_text_params,
+    )
 
     rng = np.random.RandomState(args.seed)
     cfg = ConzicConfig()

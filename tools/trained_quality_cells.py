@@ -45,8 +45,9 @@ from validate_pruning import (  # noqa: E402
 )
 
 # the published ladder (BASELINE.md): (prune_k, topk_mode, recall,
-# final_exact, ctl, clip_len, n_images). clip_len=24 cells at n32,
-# long-context at n16, mirroring the random-weight evidence bar.
+# final_exact, ctl, clip_len, n_images[, stage1, stage1_layers]).
+# clip_len=24 cells at n32, long-context at n16, mirroring the
+# random-weight evidence bar.
 LADDER = [
     (3, "approx", 0.90, False, None, 24, 32),   # 82.4 caps/s point
     (5, "approx", 0.90, False, None, 24, 32),   # 64.3
@@ -60,6 +61,20 @@ LADDER = [
     (10, "approx", 0.95, False, None, 77, 16),  # 10.9 long-context
     (20, "exact", 0.95, False, None, 77, 16),   # 5.4 long-context
     (10, "approx", 0.95, True, None, 77, 16),   # 4.8 long-context hybrid
+]
+
+# factorized stage-1 points (--prune_stage1 factorized): the truncated-
+# tower scorer replacing the bag proxy (VERDICT r3 item 2). Layer counts
+# are FRACTIONS of the full tower depth — the trained checkpoint has 4
+# text layers, so fact1/fact2 probe the 1/4- and 1/2-depth scorers.
+FACTORIZED = [
+    (3, "approx", 0.90, False, None, 24, 32, "factorized", 2),
+    (3, "approx", 0.90, False, None, 24, 32, "factorized", 1),
+    (5, "approx", 0.95, False, None, 24, 32, "factorized", 2),
+    (3, "approx", 0.90, True, None, 24, 32, "factorized", 2),  # + hybrid
+    (3, "approx", 0.90, False, "sentiment", 24, 32, "factorized", 2),
+    (3, "approx", 0.90, False, "pos", 24, 32, "factorized", 2),
+    (10, "approx", 0.95, False, None, 77, 16, "factorized", 2),
 ]
 
 
@@ -81,6 +96,12 @@ def main():
     p.add_argument("--checkpoint", default="trained_tiny")
     p.add_argument("--ladder", action="store_true",
                    help="run every published operating point")
+    p.add_argument("--factorized", action="store_true",
+                   help="run the factorized stage-1 points (FACTORIZED)")
+    p.add_argument("--prune_stage1", default="proxy",
+                   choices=["proxy", "factorized"],
+                   help="single-cell mode: stage-1 scorer")
+    p.add_argument("--stage1_layers", type=int, default=2)
     p.add_argument("--prune_k", type=int, default=None,
                    help="single-cell mode: one prune_k")
     p.add_argument("--topk_mode", default="approx",
@@ -121,11 +142,19 @@ def main():
     with open(os.path.join(args.checkpoint, "conzic_tiny.json")) as f:
         doc = json.load(f)
 
-    jobs = (LADDER if args.ladder else
-            [(args.prune_k, args.topk_mode, args.recall, args.final_exact,
-              args.ctl, args.clip_len, args.n_images)])
-    if not args.ladder and args.prune_k is None:
-        p.error("pass --ladder or --prune_k")
+    jobs = []
+    if args.ladder:
+        jobs += LADDER
+    if args.factorized:
+        jobs += FACTORIZED
+    if not jobs:
+        if args.prune_k is None:
+            p.error("pass --ladder, --factorized, or --prune_k")
+        jobs = [(args.prune_k, args.topk_mode, args.recall,
+                 args.final_exact, args.ctl, args.clip_len, args.n_images,
+                 args.prune_stage1, args.stage1_layers)]
+    # pad 7-tuples with the default proxy stage-1
+    jobs = [j if len(j) == 9 else (*j, "proxy", 2) for j in jobs]
 
     # one captioner per clip_len (static shape); scenes shared per n
     captioners = {}
@@ -167,14 +196,17 @@ def main():
                          "sentence_len": args.sentence_len, "k": args.k,
                          "scene_seed": args.scene_seed}
 
-    for pk, mode, recall, fe, ctl, clip_len, n in jobs:
+    for pk, mode, recall, fe, ctl, clip_len, n, stage1, s1_layers in jobs:
         cap = get_cap(clip_len)
         cap.cfg.topk_recall = recall
+        cap.cfg.prune_stage1 = stage1
+        cap.cfg.prune_stage1_layers = s1_layers
         imgs, gt_caps, scenes = get_data(n)
         pils = [Image.fromarray(imgs[i]) for i in range(n)]
         embeds = cap.encode_images(pils)
         key = cell_key(ctl=ctl, prune_k=pk, topk_mode=mode, recall=recall,
-                       final_exact=fe, n_images=n, clip_len=clip_len)
+                       final_exact=fe, n_images=n, clip_len=clip_len,
+                       stage1=stage1, stage1_layers=s1_layers)
         if args.cpu:
             key += "+CPU-SMOKE"
         print(f"--- trained/{key}", flush=True)

@@ -51,15 +51,20 @@ def session_tag() -> str:
 
 def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
              recall=0.95, final_exact=False, quant="none",
-             n_images=4, clip_len=24, seed=0) -> str:
+             n_images=4, clip_len=24, seed=0,
+             stage1="proxy", stage1_layers=2) -> str:
     """THE matrix cell-key grammar, in one place:
-    ``order/<ctl|free>/prune<k>[+approx<recall>][+final_exact]
-    [+int8|+int8_all][@n<N>][@len<L>][@s<seed>]``. bench.py's gate
-    matches this order (its standalone copy is comment-linked here) and
-    tests/test_bench_gate.py pins the committed matrix against the same
-    regex — hand-assembled keys drift (commit b0b28ba: typos silently
-    un-gate operating points), so every producer builds keys HERE."""
+    ``order/<ctl|free>/prune<k>[+fact<layers>][+approx<recall>]
+    [+final_exact][+int8|+int8_all][@n<N>][@len<L>][@s<seed>]``.
+    bench.py's gate matches this order (its standalone copy is
+    comment-linked here) and tests/test_bench_gate.py pins the committed
+    matrix against the same regex — hand-assembled keys drift (commit
+    b0b28ba: typos silently un-gate operating points), so every producer
+    builds keys HERE. ``+fact<N>`` marks the factorized stage-1
+    (truncated-tower scorer, N layers) in place of the default proxy."""
     key = f"{order}/{ctl or 'free'}/prune{prune_k}"
+    if stage1 == "factorized":
+        key += f"+fact{stage1_layers}"
     if topk_mode == "approx":
         key += f"+approx{recall:g}"
     if final_exact:
