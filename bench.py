@@ -59,6 +59,8 @@ QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 # "factorized" (truncated-tower scorer; CONZIC_BENCH_STAGE1_LAYERS deep)
 STAGE1 = os.environ.get("CONZIC_BENCH_STAGE1", "proxy")
 STAGE1_LAYERS = int(os.environ.get("CONZIC_BENCH_STAGE1_LAYERS", "2"))
+# factorized cascade: proxy pre-cut width m (k -> m -> prune_k); 0 = off
+STAGE1_PRECUT = int(os.environ.get("CONZIC_BENCH_STAGE1_PRECUT", "0"))
 # Engine compiler options: None = keep ConzicConfig's default (the
 # tools/flag_sweep.py winner, measured +3-5% full parity at B=32 —
 # config.py is the single source of truth). CONZIC_BENCH_XLA_OPTIONS
@@ -150,18 +152,25 @@ def build_captioner():
         cfg.topk_recall = TOPK_RECALL
         cfg.prune_stage1 = STAGE1
         cfg.prune_stage1_layers = STAGE1_LAYERS
+        cfg.prune_stage1_precut = STAGE1_PRECUT
     if SMALL_MODELS:
-        return Captioner.from_random(
+        cap = Captioner.from_random(
             config=cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32
         )
-    return Captioner.from_random(
-        config=cfg,
-        bert_config=BertConfig(),
-        clip_config=CLIPConfig(),
-        wp_vocab=make_fullsize_wordpiece_vocab(),
-        clip_text_vocab_size=49408,
-        dtype=jnp.bfloat16 if on_tpu else jnp.float32,
-    )
+    else:
+        cap = Captioner.from_random(
+            config=cfg,
+            bert_config=BertConfig(),
+            clip_config=CLIPConfig(),
+            wp_vocab=make_fullsize_wordpiece_vocab(),
+            clip_text_vocab_size=49408,
+            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        )
+    # quality cells key the factorized scorer by DEPTH PERCENT of the
+    # text tower (cell_key grammar): record the built model's value
+    EFFECTIVE["stage1_pct"] = round(
+        100 * STAGE1_LAYERS / cap.clip_model.config.text.num_layers)
+    return cap
 
 
 def bench_ours() -> float:
@@ -335,7 +344,16 @@ def check_prune_quality():
     # producers build keys via tools/validate_pruning.cell_key, and
     # tests/test_bench_gate.py cross-pins both against one regex; keep
     # the suffix ORDER in sync with cell_key when extending
-    suffix = f"+fact{STAGE1_LAYERS}" if STAGE1 == "factorized" else ""
+    if STAGE1 == "factorized":
+        # depth percent of the model that actually ran (falls back to the
+        # full-size 12-layer tower when the gate is probed pre-build)
+        pct = EFFECTIVE.get(
+            "stage1_pct", round(100 * STAGE1_LAYERS / 12))
+        suffix = f"+fact{pct:g}"
+        if STAGE1_PRECUT:
+            suffix += f"pc{STAGE1_PRECUT}"
+    else:
+        suffix = ""
     suffix += f"+approx{TOPK_RECALL:g}" if TOPK_MODE == "approx" else ""
     if PRUNE_FINAL_EXACT:  # hybrid runs gate on the hybrid's (tighter) cell
         suffix += "+final_exact"
@@ -464,7 +482,8 @@ def main():
         "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}"
                   + (f" clip_len={CLIP_LEN}" if CLIP_LEN != 24 else "")
                   + (f" prune_k={PRUNE}" if PRUNE else "")
-                  + (f" stage1=fact{STAGE1_LAYERS}"
+                  + ((f" stage1=fact{EFFECTIVE.get('stage1_pct')}"
+                      + (f"pc{STAGE1_PRECUT}" if STAGE1_PRECUT else ""))
                      if PRUNE and STAGE1 == "factorized" else "")
                   + (" final_exact" if PRUNE and PRUNE_FINAL_EXACT else "")
                   + (f" topk=approx{TOPK_RECALL:g}"

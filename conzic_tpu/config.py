@@ -90,6 +90,13 @@ class ConzicConfig:
     # (scan_layers=False).
     prune_stage1: str = "proxy"
     prune_stage1_layers: int = 2
+    # cascade pre-cut for the factorized stage-1: 0 = score all k
+    # candidates through the truncated tower; m > 0 = the bag-proxy first
+    # cuts k -> m, the truncated tower scores only those m, then the top
+    # prune_k are exact-rescored. The truncated-tower encode is the
+    # factorized tier's dominant cost (k * layers/num_layers of a full
+    # candidate encode), so m ~ 24-32 buys back most of it.
+    prune_stage1_precut: int = 0
     # exact prefix-KV reuse: candidate sentences share their CLIP prefix up
     # to the edited word; chunking the position scan gives each chunk a
     # static prefix length whose K/V are computed once at batch width
@@ -169,11 +176,20 @@ class ConzicConfig:
         assert 1 <= self.clip_len <= 77
         assert self.prune_stage1 in ("proxy", "factorized")
         assert self.prune_stage1_layers >= 1
+        assert self.prune_stage1_precut >= 0
         if self.prune_stage1 == "factorized":
             assert self.prune_k > 0, "--prune_stage1 factorized requires --prune_k"
             assert not self.scan_layers, (
                 "factorized stage-1 needs unrolled layer params "
                 "(scan_layers=False)")
+            if self.prune_stage1_precut:
+                assert self.prune_stage1_precut > self.prune_k, (
+                    "--prune_stage1_precut must exceed --prune_k "
+                    "(it is the intermediate cascade width)")
+        else:
+            assert not self.prune_stage1_precut, (
+                "--prune_stage1_precut only applies to the factorized "
+                "stage-1 (the proxy IS the pre-cut scorer)")
 
 
 def add_reference_args(p: argparse.ArgumentParser) -> None:
@@ -233,6 +249,11 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--prune_stage1_layers", type=int,
                    default=d.prune_stage1_layers,
                    help="text-tower layers the factorized stage-1 runs")
+    p.add_argument("--prune_stage1_precut", type=int,
+                   default=d.prune_stage1_precut,
+                   help="factorized cascade: proxy pre-cut width m "
+                        "(k -> m -> prune_k); 0 scores all k through the "
+                        "truncated tower")
     p.add_argument("--bridge_mode", type=str, default=d.bridge_mode,
                    choices=["table", "exact"],
                    help="candidate CLIP-id assembly: on-device table "

@@ -91,6 +91,11 @@ class EngineSpec:
     # candidate-encode cost.
     prune_stage1: str = "proxy"
     stage1_layers: int = 2
+    # factorized cascade pre-cut: m > 0 = the bag proxy cuts k -> m before
+    # the truncated-tower encode (which then scores only m rows); the
+    # truncated encode dominates the factorized tier's cost, so this is
+    # its main throughput lever
+    stage1_precut: int = 0
     # exact prefix-KV reuse (see CLIPModel.encode_text_shared_prefix):
     # ((prefix_len, n_steps), ...) chunking of the per-iteration position
     # scan — each chunk's steps share a static lower bound on the candidates'
@@ -348,11 +353,23 @@ def _position_update(
     preassembled = None
     if spec.prune_k is not None and spec.prune_k < k:
         if spec.prune_stage1 == "factorized":
-            # factorized stage-1: assemble ALL k candidates once and score
+            # factorized stage-1: assemble the candidates once and score
             # them through the truncated tower + calibrated projection;
             # survivors REUSE the assembled rows (gathered, not re-built).
             # ~10x lower selection regret than the bag proxy on semantic
             # weights (FACTORIZED_FIDELITY.json / BASELINE.md r4)
+            if spec.stage1_precut and spec.stage1_precut < k:
+                # cascade: the bag proxy cuts k -> m so the truncated
+                # tower (the dominant cost here) encodes only m rows
+                proxy0 = energies.prune_proxy_scores(
+                    tables["word_embeds"], base_ids, col, idxs,
+                    image_embeds, spec.seq_len,
+                    exclude_slot=spec.order_kind == "parallel",
+                )
+                _, keep0 = jax.lax.top_k(proxy0, spec.stage1_precut)
+                idxs = jnp.take_along_axis(idxs, keep0, axis=1)
+                top_probs = jnp.take_along_axis(top_probs, keep0, axis=1)
+                k = spec.stage1_precut
             ids_all, mask_all, pl = _assemble(idxs)
             s1_cfg = dataclasses.replace(
                 clip.config.text, num_layers=spec.stage1_layers)

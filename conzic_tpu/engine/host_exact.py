@@ -182,6 +182,27 @@ class _HostEngine:
         self.prune_keep = None
         self.s1_score = None
         if spec.prune_k is not None and spec.prune_k < k:
+            # the proxy cut: to prune_k directly (proxy stage-1) or to the
+            # cascade's intermediate width m (factorized precut)
+            proxy_width = (
+                spec.stage1_precut
+                if spec.prune_stage1 == "factorized"
+                else spec.prune_k
+            )
+            if proxy_width and proxy_width < k:
+                word_embeds = tables["word_embeds"]
+
+                @jax.jit
+                def prune_keep(base_ids, col, idxs, image_embeds):
+                    proxy = energies.prune_proxy_scores(
+                        word_embeds, base_ids, col, idxs, image_embeds,
+                        spec.seq_len,
+                        exclude_slot=spec.order_kind == "parallel",
+                    )
+                    _, keep = jax.lax.top_k(proxy, proxy_width)
+                    return keep
+
+                self.prune_keep = prune_keep
             if spec.prune_stage1 == "factorized":
                 import dataclasses as _dc
 
@@ -218,20 +239,6 @@ class _HostEngine:
                     return jnp.einsum("bkd,bd->bk", emb, img)
 
                 self.s1_score = s1_score
-            else:
-                word_embeds = tables["word_embeds"]
-
-                @jax.jit
-                def prune_keep(base_ids, col, idxs, image_embeds):
-                    proxy = energies.prune_proxy_scores(
-                        word_embeds, base_ids, col, idxs, image_embeds,
-                        spec.seq_len,
-                        exclude_slot=spec.order_kind == "parallel",
-                    )
-                    _, keep = jax.lax.top_k(proxy, spec.prune_k)
-                    return keep
-
-                self.prune_keep = prune_keep
 
         self.propose = propose
         self.span_logits = span_logits
@@ -273,15 +280,16 @@ class _HostEngine:
         )
 
         if prune_on and self.prune_keep is not None:
-            # proxy stage-1 cuts BEFORE assembly (gibbs assembles only the
-            # survivors in proxy mode)
+            # proxy cut BEFORE assembly (gibbs assembles only the
+            # survivors): to prune_k (proxy stage-1) or to the cascade's
+            # intermediate width (factorized precut)
             keep = np.asarray(self.prune_keep(
                 jnp.asarray(base_ids), jnp.asarray(col),
                 jnp.asarray(idxs_np), image_embeds,
             ))
             idxs_np = np.take_along_axis(idxs_np, keep, axis=1)
             top_probs_np = np.take_along_axis(top_probs_np, keep, axis=1)
-            k = spec.prune_k
+            k = idxs_np.shape[1]
 
         def build_cand(ids_k):
             kk = ids_k.shape[1]

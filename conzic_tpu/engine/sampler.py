@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import logging
+import sys
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -448,7 +449,38 @@ class Captioner:
                                      np.float32))
         y = np.concatenate(tgt).astype(np.float64)
         h = np.concatenate(pooled).astype(np.float64)
-        w = np.linalg.solve(h.T @ h + 1e-3 * np.eye(h.shape[1]), h.T @ y)
+        # held-out fidelity: the per-checkpoint transferability contract.
+        # The trained-weights quality cells (PRUNING_MATRIX "trained")
+        # were measured at calibration cosine ~0.95 (half tower depth,
+        # FACTORIZED_FIDELITY.json); a checkpoint+layer-count whose fit
+        # lands materially below that is OUTSIDE the measured evidence —
+        # warn rather than silently degrade.
+        n_hold = max(32, len(h) // 8)
+        h_fit, y_fit = h[:-n_hold], y[:-n_hold]
+        w = np.linalg.solve(
+            h_fit.T @ h_fit + 1e-3 * np.eye(h.shape[1]), h_fit.T @ y_fit)
+        pred = h[-n_hold:] @ w
+        tgt_h = y[-n_hold:]
+        cos = np.sum(pred * tgt_h, axis=1) / (
+            np.linalg.norm(pred, axis=1) * np.linalg.norm(tgt_h, axis=1)
+            + 1e-9)
+        self.stage1_calib_cos = float(np.mean(cos))
+        # the published trained-weights evidence (PRUNING_MATRIX "trained"
+        # fact50 cells, all under-gate) ran at held-out cosine 0.9481;
+        # the failing fact25 cells at 0.854 — 0.94 is the measured
+        # pass/fail boundary's conservative edge
+        if self.stage1_calib_cos < 0.94:
+            print(
+                f"WARNING: factorized stage-1 calibration held-out cosine "
+                f"{self.stage1_calib_cos:.4f} < 0.94 for "
+                f"prune_stage1_layers={n_layers} on this checkpoint — the "
+                f"under-gate quality cells were measured at 0.948 (the "
+                f"over-gate ones at 0.854); raise the layer count or "
+                f"treat quality as unbounded.",
+                file=sys.stderr)
+        elif self.cfg.verbose:
+            print(f"factorized stage-1 calibration held-out cosine "
+                  f"{self.stage1_calib_cos:.4f} (layers={n_layers})")
         self.tables["stage1_wcal"] = mesh_lib.replicate(
             self.mesh, jnp.asarray(w.astype(np.float32)))
         self._stage1_meta = meta
@@ -657,6 +689,7 @@ class Captioner:
             final_exact=bool(final_exact and prune_k is not None),
             prune_stage1=self.cfg.prune_stage1,
             stage1_layers=self.cfg.prune_stage1_layers,
+            stage1_precut=self.cfg.prune_stage1_precut,
             prefix_chunks=None if exact else prefix_chunks,
             clip_row_chunk=row_chunk,
             clip_pad_to=self._clip_pad_to(),
@@ -807,6 +840,8 @@ class Captioner:
         if prune_k is not None:
             if self.cfg.prune_stage1 == "factorized":
                 self._ensure_stage1_calibration()
+                if self.cfg.prune_stage1_precut:
+                    self._ensure_word_embeds()  # the cascade's proxy cut
             else:
                 self._ensure_word_embeds()
         if self.cfg.mask_impl == "compare":
@@ -856,6 +891,8 @@ class Captioner:
         if spec.prune_k is not None:
             if spec.prune_stage1 == "factorized":
                 need.add("stage1_wcal")
+                if spec.stage1_precut:
+                    need.add("word_embeds")
             else:
                 need.add("word_embeds")
         if spec.mask_impl == "compare":

@@ -46,14 +46,18 @@ def bench_mod(tmp_path, monkeypatch):
 
 def _gate_stderr(bench, capsys, *, prune, mode="exact", recall=0.95,
                  final_exact=False, quant="none", stage1="proxy",
-                 stage1_layers=2):
+                 stage1_pct=None, precut=0):
     for name, val in (("PRUNE", prune), ("TOPK_MODE", mode),
                       ("TOPK_RECALL", recall),
                       ("PRUNE_FINAL_EXACT", final_exact),
                       ("QUANT", quant), ("STAGE1", stage1),
-                      ("STAGE1_LAYERS", stage1_layers)):
+                      ("STAGE1_PRECUT", precut)):
         setattr(bench, name, val)
     bench.EFFECTIVE.pop("quant", None)  # gate falls back to QUANT
+    if stage1_pct is None:
+        bench.EFFECTIVE.pop("stage1_pct", None)
+    else:
+        bench.EFFECTIVE["stage1_pct"] = stage1_pct
     bench.check_prune_quality()
     return capsys.readouterr().err
 
@@ -178,23 +182,38 @@ def test_quant_run_never_borrows_the_fp_cell(bench_mod, capsys):
 
 def test_factorized_run_gates_on_its_fact_cell(bench_mod, capsys):
     # a factorized-stage1 bench must not borrow the proxy cell (different
-    # stage-1 scorer = different quality), and gates on +fact<N> cells
-    err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized")
-    assert "no cell" in err and "prune_k=5+fact2" in err
+    # stage-1 scorer = different quality), and gates on +fact<pct> cells
+    # (depth PERCENT of the built tower, EFFECTIVE["stage1_pct"])
+    err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized",
+                       stage1_pct=50)
+    assert "no cell" in err and "prune_k=5+fact50" in err
     cells = {
         "sequential/free/prune5": {"best_cosine_delta": 0.02},
-        "sequential/free/prune5+fact2": {"best_cosine_delta": 0.002},
+        "sequential/free/prune5+fact50": {"best_cosine_delta": 0.002},
+        "sequential/free/prune5+fact50pc24": {"best_cosine_delta": 0.003},
     }
     path = os.path.join(os.path.dirname(bench_mod.__file__),
                         "PRUNING_MATRIX.json")
     with open(path, "w") as f:
         json.dump({"weights": "synthetic", "cells": cells}, f)
     assert _gate_stderr(bench_mod, capsys, prune=5,
-                        stage1="factorized") == ""
-    # layer count is part of the operating point
+                        stage1="factorized", stage1_pct=50) == ""
+    # depth percent is part of the operating point
     err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized",
-                       stage1_layers=1)
-    assert "no cell" in err and "prune_k=5+fact1" in err
+                       stage1_pct=25)
+    assert "no cell" in err and "prune_k=5+fact25" in err
+    # the cascade pre-cut is too (and resolves when its cell exists)
+    assert _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized",
+                        stage1_pct=50, precut=24) == ""
+    err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized",
+                       stage1_pct=50, precut=48)
+    assert "no cell" in err and "prune_k=5+fact50pc48" in err
+    # without a built model, the gate falls back to the full-size
+    # 12-layer tower for the percent
+    bench_mod.STAGE1_LAYERS = 6
+    err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized")
+    assert "prune_k=5+fact50" not in err  # fact50 cell exists -> no warn
+    bench_mod.STAGE1_LAYERS = 2
 
 
 def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
@@ -299,26 +318,29 @@ def test_cell_key_builder_matches_the_gate_grammar():
 
     pat = re.compile(
         r"^(sequential|shuffle|span|random|parallel)/"
-        r"(free|sentiment|pos)/prune\d+(\+fact\d+)?"
+        r"(free|sentiment|pos)/prune\d+(\+fact\d+(?:pc\d+)?)?"
         r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
         r"(@n\d+)?(@len\d+)?(@s\d+)?$"
     )
-    for mode, fe, quant, n, ln, seed, s1 in itertools.product(
+    for mode, fe, quant, n, ln, seed, s1, pc in itertools.product(
         ("exact", "approx"), (False, True), ("none", "int8", "int8_all"),
-        (4, 16), (24, 77), (0, 1), ("proxy", "factorized"),
+        (4, 16), (24, 77), (0, 1), ("proxy", "factorized"), (0, 24),
     ):
         key = cell_key(ctl="pos", prune_k=5, topk_mode=mode, recall=0.9,
                        final_exact=fe, quant=quant, n_images=n,
-                       clip_len=ln, seed=seed, stage1=s1)
+                       clip_len=ln, seed=seed, stage1=s1, precut=pc)
         assert pat.match(key), key
     # and the exact strings bench's gate builds for its lookups
     assert cell_key(prune_k=5) == "sequential/free/prune5"
     assert cell_key(prune_k=5, topk_mode="approx", recall=0.95,
                     final_exact=True, quant="int8_all") == \
         "sequential/free/prune5+approx0.95+final_exact+int8_all"
-    assert cell_key(prune_k=3, stage1="factorized", stage1_layers=1,
+    assert cell_key(prune_k=3, stage1="factorized", stage1_pct=25,
                     topk_mode="approx", recall=0.9) == \
-        "sequential/free/prune3+fact1+approx0.9"
+        "sequential/free/prune3+fact25+approx0.9"
+    assert cell_key(prune_k=3, stage1="factorized", stage1_pct=50,
+                    precut=24, topk_mode="approx", recall=0.9) == \
+        "sequential/free/prune3+fact50pc24+approx0.9"
 
 
 def test_committed_matrix_keys_parse():
@@ -335,13 +357,15 @@ def test_committed_matrix_keys_parse():
         matrix = json.load(f)
     pat = re.compile(
         r"^(sequential|shuffle|span|random|parallel)/"
-        r"(free|sentiment|pos)/prune\d+(\+fact\d+)?"
+        r"(free|sentiment|pos)/prune\d+(\+fact\d+(?:pc\d+)?)?"
         r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
         r"(@n\d+)?(@len\d+)?(@s\d+)?$"
     )
-    bad = [k for k in matrix["cells"] if not pat.match(k)]
+    all_cells = dict(matrix["cells"])
+    all_cells.update(matrix.get("trained", {}).get("cells", {}))
+    bad = [k for k in all_cells if not pat.match(k)]
     assert not bad, bad
     # and every cell carries the gate's metric
-    missing = [k for k, c in matrix["cells"].items()
+    missing = [k for k, c in all_cells.items()
                if "best_cosine_delta" not in c]
     assert not missing, missing

@@ -165,7 +165,7 @@ def test_factorized_differs_from_proxy_and_uses_wcal_table(cap):
 
 
 def _host_vs_callback_pruned(monkeypatch, *, stage1, final_exact=False,
-                             ctl=None):
+                             ctl=None, precut=0):
     """Pruned run, host-stepped vs pure_callback engine — byte-identical
     (host_exact prune_k support, VERDICT r3 weak #6)."""
     from conzic_tpu.engine import host_exact
@@ -180,6 +180,7 @@ def _host_vs_callback_pruned(monkeypatch, *, stage1, final_exact=False,
         cfg.prune_k = 3
         cfg.prune_stage1 = stage1
         cfg.prune_stage1_layers = 1
+        cfg.prune_stage1_precut = precut
         cfg.prune_final_exact = final_exact
         c = Captioner.from_random(cfg, init_mode="proper", seed=11)
         monkeypatch.setattr(
@@ -211,3 +212,96 @@ def test_host_stepped_pruned_factorized_matches_callback(monkeypatch):
 
 def test_host_stepped_pruned_hybrid_matches_callback(monkeypatch):
     _host_vs_callback_pruned(monkeypatch, stage1="proxy", final_exact=True)
+
+
+def test_cascade_precut_engine_matches_recomposed_oracle(cap):
+    """--prune_stage1_precut m: proxy k->m, truncated tower m->prune_k,
+    exact rescore — recomposed outside the engine and pinned."""
+    B, K, M, PK = 3, 16, 8, 4
+    prompt = "Image of a"
+    rng = np.random.RandomState(1)
+    D = cap.clip_model.config.projection_dim
+    embeds = jnp.asarray(rng.randn(B, D).astype(np.float32))
+
+    cap.cfg.prune_stage1_precut = M
+    try:
+        res = cap.run(embeds, prompt=prompt, max_len=1, top_k=K,
+                      temperature=0.1, max_iter=1, alpha=0.02, beta=2.0,
+                      order="sequential", rng=np.random.RandomState(7),
+                      prune_k=PK)
+    finally:
+        cap.cfg.prune_stage1_precut = 0
+    committed = np.asarray(res.iter_ids[-1])
+    col = cap.seed_len(prompt)
+    got = committed[:, col]
+
+    init = jnp.asarray(cap.init_ids(prompt, 1, B))
+    bert_logits = cap.bert_model.apply(
+        {"params": cap.params["bert"]}, init)[:, col, :]
+    probs = energies.masked_lm_probs(
+        bert_logits, cap.tables["mask_last"], jnp.float32(0.1))
+    top_probs, idxs = energies.topk_candidates(
+        probs, cap.tables["mask_last"][None, :], K,
+        chunk=cap.cfg.topk_chunk)
+    # proxy pre-cut (masked base row -> exclude_slot=False, as the
+    # engine's sequential order)
+    cap._ensure_word_embeds()
+    proxy = energies.prune_proxy_scores(
+        cap.tables["word_embeds"], init, jnp.full((B,), col, jnp.int32),
+        idxs, embeds, init.shape[1], exclude_slot=False)
+    _, keep0 = jax.lax.top_k(proxy, M)
+    idxs_m = jnp.take_along_axis(idxs, keep0, axis=1)
+    probs_m = jnp.take_along_axis(top_probs, keep0, axis=1)
+    inner = init[:, 1 : init.shape[1] - 1]
+    ids_all, mask_all = assemble_clip_ids_substitute(
+        inner, idxs_m, jnp.full((B,), col - 1),
+        cap.tables["bridge_ids"], cap.tables["bridge_lens"],
+        bos_id=cap.bridge.bos_id, eos_id=cap.bridge.eos_id,
+        pad_id=cap.bridge.pad_id, clip_len=cap.cfg.clip_len)
+    cap._ensure_stage1_calibration()
+    wcal = cap.tables["stage1_wcal"]
+    tcfg = dataclasses.replace(cap.clip_model.config.text, num_layers=1)
+    tower = CLIPTextTower(tcfg, dtype=cap.clip_model.dtype)
+    tparams = truncated_text_params(cap.params["clip"], 1)
+    L = ids_all.shape[-1]
+    pooled = tower.apply({"params": tparams},
+                         ids_all.reshape(B * M, L),
+                         mask_all.reshape(B * M, L))
+    s1 = (pooled.astype(jnp.float32) @ wcal).reshape(B, M, -1)
+    s1 = s1 / (jnp.linalg.norm(s1, axis=-1, keepdims=True) + 1e-6)
+    img_n = embeds / jnp.linalg.norm(embeds, axis=-1, keepdims=True)
+    _, keep = jax.lax.top_k(jnp.einsum("bkd,bd->bk", s1, img_n), PK)
+    idxs_kept = jnp.take_along_axis(idxs_m, keep, axis=1)
+    probs_kept = jnp.take_along_axis(probs_m, keep, axis=1)
+    ids_kept = jnp.take_along_axis(ids_all, keep[:, :, None], axis=1)
+    mask_kept = jnp.take_along_axis(mask_all, keep[:, :, None], axis=1)
+    emb_full = cap.clip_model.apply(
+        {"params": cap.params["clip"]},
+        ids_kept.reshape(B * PK, L), mask_kept.reshape(B * PK, L),
+        method=CLIPModel.encode_text)
+    clip_probs, _ = cap.clip_model.apply(
+        {"params": cap.params["clip"]}, embeds, emb_full,
+        method=CLIPModel.similarity)
+    final = energies.combine_scores(
+        probs_kept, clip_probs, jnp.float32(0.02), jnp.float32(2.0))
+    sel = jnp.argmax(final, axis=1)
+    expected = np.asarray(
+        jnp.take_along_axis(idxs_kept, sel[:, None], axis=1))[:, 0]
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_cascade_rejects_precut_not_exceeding_prune_k():
+    cfg = ConzicConfig()
+    cfg.prune_stage1 = "factorized"
+    cfg.prune_k = 4
+    cfg.prune_stage1_precut = 4
+    with pytest.raises(AssertionError):
+        cfg.validate()
+    cfg.prune_stage1 = "proxy"
+    cfg.prune_stage1_precut = 8
+    with pytest.raises(AssertionError):
+        cfg.validate()
+
+
+def test_host_stepped_cascade_matches_callback(monkeypatch):
+    _host_vs_callback_pruned(monkeypatch, stage1="factorized", precut=5)

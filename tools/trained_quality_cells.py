@@ -45,7 +45,7 @@ from validate_pruning import (  # noqa: E402
 )
 
 # the published ladder (BASELINE.md): (prune_k, topk_mode, recall,
-# final_exact, ctl, clip_len, n_images[, stage1, stage1_layers]).
+# final_exact, ctl, clip_len, n_images[, stage1, stage1_layers[, precut]]).
 # clip_len=24 cells at n32, long-context at n16, mirroring the
 # random-weight evidence bar.
 LADDER = [
@@ -66,7 +66,10 @@ LADDER = [
 # factorized stage-1 points (--prune_stage1 factorized): the truncated-
 # tower scorer replacing the bag proxy (VERDICT r3 item 2). Layer counts
 # are FRACTIONS of the full tower depth — the trained checkpoint has 4
-# text layers, so fact1/fact2 probe the 1/4- and 1/2-depth scorers.
+# text layers, so layers 1/2 probe the 25%- and 50%-depth scorers
+# (cell keys record the PERCENT: fact25/fact50 — validate_pruning
+# .cell_key). The pc<m> entries are the cascade (proxy pre-cut k -> m
+# before the truncated-tower encode — the full-size throughput lever).
 FACTORIZED = [
     (3, "approx", 0.90, False, None, 24, 32, "factorized", 2),
     (3, "approx", 0.90, False, None, 24, 32, "factorized", 1),
@@ -75,6 +78,15 @@ FACTORIZED = [
     (3, "approx", 0.90, False, "sentiment", 24, 32, "factorized", 2),
     (3, "approx", 0.90, False, "pos", 24, 32, "factorized", 2),
     (10, "approx", 0.95, False, None, 77, 16, "factorized", 2),
+]
+
+CASCADE = [
+    (3, "approx", 0.90, False, None, 24, 32, "factorized", 2, 24),
+    (3, "approx", 0.90, False, None, 24, 32, "factorized", 2, 48),
+    (3, "approx", 0.90, False, None, 24, 32, "factorized", 2, 12),
+    (5, "approx", 0.95, False, None, 24, 32, "factorized", 2, 24),
+    (3, "approx", 0.90, False, "sentiment", 24, 32, "factorized", 2, 24),
+    (3, "approx", 0.90, False, "pos", 24, 32, "factorized", 2, 24),
 ]
 
 
@@ -98,6 +110,10 @@ def main():
                    help="run every published operating point")
     p.add_argument("--factorized", action="store_true",
                    help="run the factorized stage-1 points (FACTORIZED)")
+    p.add_argument("--cascade", action="store_true",
+                   help="run the cascade (proxy pre-cut) points (CASCADE)")
+    p.add_argument("--stage1_precut", type=int, default=0,
+                   help="single-cell mode: cascade pre-cut width")
     p.add_argument("--prune_stage1", default="proxy",
                    choices=["proxy", "factorized"],
                    help="single-cell mode: stage-1 scorer")
@@ -147,14 +163,18 @@ def main():
         jobs += LADDER
     if args.factorized:
         jobs += FACTORIZED
+    if args.cascade:
+        jobs += CASCADE
     if not jobs:
         if args.prune_k is None:
-            p.error("pass --ladder, --factorized, or --prune_k")
+            p.error("pass --ladder, --factorized, --cascade, or --prune_k")
         jobs = [(args.prune_k, args.topk_mode, args.recall,
                  args.final_exact, args.ctl, args.clip_len, args.n_images,
-                 args.prune_stage1, args.stage1_layers)]
-    # pad 7-tuples with the default proxy stage-1
-    jobs = [j if len(j) == 9 else (*j, "proxy", 2) for j in jobs]
+                 args.prune_stage1, args.stage1_layers,
+                 args.stage1_precut)]
+    # pad short tuples: default proxy stage-1, no precut
+    jobs = [(*j, "proxy", 2)[:9] if len(j) < 9 else j for j in jobs]
+    jobs = [j if len(j) == 10 else (*j, 0) for j in jobs]
 
     # one captioner per clip_len (static shape); scenes shared per n
     captioners = {}
@@ -196,17 +216,21 @@ def main():
                          "sentence_len": args.sentence_len, "k": args.k,
                          "scene_seed": args.scene_seed}
 
-    for pk, mode, recall, fe, ctl, clip_len, n, stage1, s1_layers in jobs:
+    for (pk, mode, recall, fe, ctl, clip_len, n, stage1, s1_layers,
+         precut) in jobs:
         cap = get_cap(clip_len)
         cap.cfg.topk_recall = recall
         cap.cfg.prune_stage1 = stage1
         cap.cfg.prune_stage1_layers = s1_layers
+        cap.cfg.prune_stage1_precut = precut
+        tower_layers = cap.clip_model.config.text.num_layers
+        s1_pct = round(100 * s1_layers / tower_layers)
         imgs, gt_caps, scenes = get_data(n)
         pils = [Image.fromarray(imgs[i]) for i in range(n)]
         embeds = cap.encode_images(pils)
         key = cell_key(ctl=ctl, prune_k=pk, topk_mode=mode, recall=recall,
                        final_exact=fe, n_images=n, clip_len=clip_len,
-                       stage1=stage1, stage1_layers=s1_layers)
+                       stage1=stage1, stage1_pct=s1_pct, precut=precut)
         if args.cpu:
             key += "+CPU-SMOKE"
         print(f"--- trained/{key}", flush=True)

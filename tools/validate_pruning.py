@@ -52,19 +52,27 @@ def session_tag() -> str:
 def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
              recall=0.95, final_exact=False, quant="none",
              n_images=4, clip_len=24, seed=0,
-             stage1="proxy", stage1_layers=2) -> str:
+             stage1="proxy", stage1_pct=50, precut=0) -> str:
     """THE matrix cell-key grammar, in one place:
-    ``order/<ctl|free>/prune<k>[+fact<layers>][+approx<recall>]
+    ``order/<ctl|free>/prune<k>[+fact<pct>[pc<m>]][+approx<recall>]
     [+final_exact][+int8|+int8_all][@n<N>][@len<L>][@s<seed>]``.
     bench.py's gate matches this order (its standalone copy is
     comment-linked here) and tests/test_bench_gate.py pins the committed
     matrix against the same regex — hand-assembled keys drift (commit
     b0b28ba: typos silently un-gate operating points), so every producer
-    builds keys HERE. ``+fact<N>`` marks the factorized stage-1
-    (truncated-tower scorer, N layers) in place of the default proxy."""
+    builds keys HERE. ``+fact<pct>`` marks the factorized stage-1
+    (truncated-tower scorer) in place of the default proxy; <pct> is the
+    scorer's DEPTH PERCENT (100 * layers / tower_layers), not a layer
+    count — the trained evidence (4-layer tower) and full-size runs
+    (12 layers) only align on relative depth, and the per-checkpoint
+    calibration held-out cosine (sampler._ensure_stage1_calibration)
+    checks the transfer at runtime. ``pc<m>`` marks the cascade's proxy
+    pre-cut width."""
     key = f"{order}/{ctl or 'free'}/prune{prune_k}"
     if stage1 == "factorized":
-        key += f"+fact{stage1_layers}"
+        key += f"+fact{stage1_pct:g}"
+        if precut:
+            key += f"pc{precut}"
     if topk_mode == "approx":
         key += f"+approx{recall:g}"
     if final_exact:
