@@ -77,7 +77,8 @@ def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
 def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
                     chunk: int = 4096, mode: str = "exact",
                     recall: float = 0.95,
-                    banned_ids: Optional[jax.Array] = None):
+                    banned_ids: Optional[jax.Array] = None,
+                    mesh=None):
     """Top-k of masked probs; candidate ids with zero mask collapse to 0
     ([PAD]) exactly like the reference's ``(idxs * mask[idxs]).long()``
     (gen_utils.py:72). ``token_mask`` may be (V,) or per-row (B, V).
@@ -98,14 +99,48 @@ def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
     recall is 1.0 there). The engine only permits this together with
     ``prune_k``, whose proxy re-ranking already makes the tier
     approximate and quality-gated (PRUNING_MATRIX.json)."""
-    if mode == "approx":
-        top_probs, idxs = jax.lax.approx_max_k(
-            probs, k, recall_target=recall, aggregate_to_topk=True
+    def _topk(p):
+        if mode == "approx":
+            v, i = jax.lax.approx_max_k(
+                p, k, recall_target=recall, aggregate_to_topk=True
+            )
+        elif 128 <= p.shape[0] < 256:
+            v, i = exact_topk_2stage(p, k, chunk=chunk)
+        else:
+            v, i = jax.lax.top_k(p, k)
+        return v, i  # normalized pytree (lax.top_k yields a list)
+
+    # On a pure-DP mesh, XLA lowers wide top_k to a TopK custom call the
+    # SPMD partitioner cannot partition: it all-gathers the batch-sharded
+    # (B, V) probs onto every device (observed at V=30522 on the 8-device
+    # dryrun — __graft_entry__.dryrun_fullsize_collectives), breaking the
+    # zero-collective linear-scaling property. top_k has no cross-row
+    # interaction, so computing each device's rows locally under
+    # shard_map is byte-identical and keeps the program collective-free.
+    # TP meshes (model axis > 1) keep the default path: their vocab-dim
+    # sharding legitimately collects over the model axis.
+    dp = (
+        mesh is not None
+        and "data" in mesh.axis_names
+        and dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1) > 1
+        and all(
+            n == "data" or s == 1
+            for n, s in zip(mesh.axis_names, mesh.devices.shape)
         )
-    elif 128 <= probs.shape[0] < 256:
-        top_probs, idxs = exact_topk_2stage(probs, k, chunk=chunk)
+        and probs.shape[0]
+        % dict(zip(mesh.axis_names, mesh.devices.shape))["data"] == 0
+    )
+    if dp:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+
+        spec_2d = PartitionSpec("data", None)
+        top_probs, idxs = shard_map(
+            _topk, mesh=mesh, in_specs=spec_2d,
+            out_specs=(spec_2d, spec_2d), check_rep=False,
+        )(probs)
     else:
-        top_probs, idxs = jax.lax.top_k(probs, k)
+        top_probs, idxs = _topk(probs)
     if banned_ids is not None:
         # mask_impl="compare": the same {0,1} lookup computed WITHOUT the
         # f32[V] kCustom scalar-core gather (the pruned tier's largest

@@ -138,6 +138,30 @@ class EngineSpec:
     exact_bridge: bool = False
 
 
+def _set_at_col(ids: jax.Array, col: jax.Array, values, mesh=None) -> jax.Array:
+    """``ids.at[arange(B), col].set(values)`` — the per-row column write.
+
+    Two exact forms: the scatter (single-chip default — the measured
+    fusion-preserving formulation) and a one-hot select for mesh
+    programs: XLA's SPMD partitioner all-gathers batch-sharded scatter
+    operands (s32[B,2] index all-gathers observed in the full-size
+    dryrun — __graft_entry__.dryrun_fullsize_collectives), while the
+    iota-compare + where form is elementwise and stays lane-local.
+    ``values``: scalar or (B,) — broadcast across the selected column.
+    """
+    if mesh is None:
+        B = ids.shape[0]
+        return ids.at[jnp.arange(B), col].set(values)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (ids.shape[1],), 0)[None, :]
+        == col[:, None]
+    )
+    vals = jnp.asarray(values, dtype=ids.dtype)
+    if vals.ndim == 1:
+        vals = vals[:, None]
+    return jnp.where(oh, vals, ids)
+
+
 def _take_along_onehot(values: jax.Array, sel: jax.Array) -> jax.Array:
     """``take_along_axis(values, sel, axis=1)`` as a one-hot contraction.
 
@@ -294,6 +318,7 @@ def _position_update(
     host_bridge=None,
     host_ctl=None,
     prefix_kvs=None,
+    mesh=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Score k candidates for ``pos`` and commit the argmax.
 
@@ -317,6 +342,7 @@ def _position_update(
     top_probs, idxs = energies.topk_candidates(
         probs, token_mask, k, chunk=spec.topk_chunk,
         mode=spec.topk_mode, recall=spec.topk_recall, banned_ids=banned,
+        mesh=mesh,
     )
 
     def _assemble(idxs_k):
@@ -477,7 +503,7 @@ def _position_update(
     )
     sel = jnp.argmax(final, axis=1)  # (B,)
     chosen = jnp.take_along_axis(idxs, sel[:, None], axis=1)[:, 0]
-    new_ids = commit_ids.at[jnp.arange(B), col].set(chosen)
+    new_ids = _set_at_col(commit_ids, col, chosen, mesh=mesh)
     cos_sel = jnp.take_along_axis(cosine, sel[:, None], axis=1)[:, 0]
     ctl_sel = jnp.take_along_axis(ctl_score, sel[:, None], axis=1)[:, 0]
     return new_ids, cos_sel, ctl_sel
@@ -522,14 +548,13 @@ def _mask_last_pair(spec: EngineSpec, tables, B: int):
 
 
 def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
-                host_bridge=None, host_ctl=None, prefix_kvs=None):
+                host_bridge=None, host_ctl=None, prefix_kvs=None,
+                mesh=None):
     """Returns iteration_fn(ids, schedule_row) -> (ids, cos, ctl)."""
 
     def fresh_logits(ids, pos):
-        B = ids.shape[0]
         col = spec.seed_len + pos  # (B,)
-        rows = jnp.arange(B)
-        masked = ids.at[rows, col].set(spec.mask_token_id)
+        masked = _set_at_col(ids, col, spec.mask_token_id, mesh=mesh)
         hidden = bert.apply(
             {"params": params["bert"]}, masked,
             pool_idx=col[:, None], method=BertForMaskedLM.hidden,
@@ -543,7 +568,7 @@ def _make_sweep(spec, bert, clip, params, tables, hyper, image_embeds,
     update = functools.partial(
         _position_update, spec, bert, clip, params, tables, hyper,
         image_embeds, host_bridge=host_bridge, host_ctl=host_ctl,
-        prefix_kvs=prefix_kvs,
+        prefix_kvs=prefix_kvs, mesh=mesh,
     )
 
     if spec.order_kind == "single":
@@ -692,6 +717,7 @@ def run_generation(
     schedule_sizes: Optional[jax.Array],
     host_bridge=None,
     host_ctl=None,
+    mesh=None,
 ):
     """The full multi-iteration generation (jit this).
 
@@ -730,6 +756,7 @@ def run_generation(
     iteration = _make_sweep(
         spec, bert, clip, params, tables, hyper, image_embeds,
         host_bridge=host_bridge, host_ctl=host_ctl, prefix_kvs=prefix_kvs,
+        mesh=mesh,
     )
     final_iteration = None
     if spec.final_exact and spec.prune_k is not None:
@@ -743,6 +770,7 @@ def run_generation(
         final_iteration = _make_sweep(
             full_spec, bert, clip, params, tables, hyper, image_embeds,
             host_bridge=host_bridge, host_ctl=host_ctl, prefix_kvs=prefix_kvs,
+            mesh=mesh,
         )
     B = init_ids.shape[0]
 

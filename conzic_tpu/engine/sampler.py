@@ -780,6 +780,7 @@ class Captioner:
                 functools.partial(
                     run_generation, spec, self.bert_model, self.clip_model,
                     host_bridge=host_bridge, host_ctl=host_ctl,
+                    mesh=self.mesh,
                 ),
                 compiler_options=self._compiler_options(),
             )

@@ -53,14 +53,16 @@ def small_bert_config(vocab_size: int):
     )
 
 
-def small_clip_config(text_vocab_size: int, eos_token_id: int):
+def small_clip_config(text_vocab_size: int, eos_token_id: int,
+                      text_layers: int = 4):
     from conzic_tpu.models.configs import (
         CLIPConfig, CLIPTextConfig, CLIPVisionConfig,
     )
 
     return CLIPConfig(
         text=CLIPTextConfig(
-            vocab_size=text_vocab_size, hidden_size=128, num_layers=4,
+            vocab_size=text_vocab_size, hidden_size=128,
+            num_layers=text_layers,
             num_heads=4, intermediate_size=512, max_position_embeddings=77,
             eos_token_id=eos_token_id,
         ),
@@ -90,6 +92,10 @@ def main():
     p.add_argument("--warmup", type=int, default=200)
     p.add_argument("--chunk", type=int, default=25,
                    help="train steps per device dispatch (lax.scan chunk)")
+    p.add_argument("--clip_text_layers", type=int, default=4,
+                   help="CLIP text-tower depth — deeper towers probe the "
+                        "factorized stage-1's depth-fraction scaling "
+                        "(fact<pct> transfer evidence)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
@@ -157,7 +163,8 @@ def main():
 
     # --- models ---------------------------------------------------------------
     bert_cfg = small_bert_config(wp.vocab_size)
-    clip_cfg = small_clip_config(bpe.vocab_size, bpe.eos_token_id)
+    clip_cfg = small_clip_config(bpe.vocab_size, bpe.eos_token_id,
+                                 text_layers=args.clip_text_layers)
     bert = BertForMaskedLM(bert_cfg, dtype=jnp.bfloat16)
     clip = CLIPModel(clip_cfg, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(args.seed)

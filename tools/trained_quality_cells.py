@@ -238,6 +238,12 @@ def main():
             cap, embeds, order="sequential", ctl=ctl, prune_k=pk,
             sentence_len=args.sentence_len, iters=args.iters, k=args.k,
             final_exact=fe, topk_mode=mode, return_runs=True)
+        # per-cell provenance: two trained checkpoints of different tower
+        # depth share the matrix (percent keys) — a same-key re-measure on
+        # a deeper (more production-like) tower intentionally overwrites,
+        # and this field says which tower produced the surviving estimate
+        cell["checkpoint"] = args.checkpoint
+        cell["tower_layers"] = tower_layers
         cell["best_cos_full"] = float(np.mean(runs["full"].best_cos))
         cell["best_cos_pruned"] = float(np.mean(runs["pruned"].best_cos))
         cell["attr_recall_full"] = attr_recall(
