@@ -465,17 +465,20 @@ class Captioner:
             np.linalg.norm(pred, axis=1) * np.linalg.norm(tgt_h, axis=1)
             + 1e-9)
         self.stage1_calib_cos = float(np.mean(cos))
-        # the published trained-weights evidence (PRUNING_MATRIX "trained"
-        # fact50 cells, all under-gate) ran at held-out cosine 0.9481;
-        # the failing fact25 cells at 0.854 — 0.94 is the measured
-        # pass/fail boundary's conservative edge
-        if self.stage1_calib_cos < 0.94:
+        # measured pass/fail boundary across BOTH trained towers
+        # (PRUNING_MATRIX "trained"): every under-gate factorized cell ran
+        # at held-out cosine >= 0.917 (12-layer tower, 2 layers) and the
+        # over-gate quarter-depth-of-4 cells at 0.854 — warn below the
+        # pass band's floor. Fidelity tracks ABSOLUTE stage-1 layer count
+        # (2-of-12 at 0.917 passes; 1-of-4 at 0.854 fails), so >= 2
+        # layers is the practical minimum on any tower.
+        if self.stage1_calib_cos < 0.91:
             print(
                 f"WARNING: factorized stage-1 calibration held-out cosine "
-                f"{self.stage1_calib_cos:.4f} < 0.94 for "
+                f"{self.stage1_calib_cos:.4f} < 0.91 for "
                 f"prune_stage1_layers={n_layers} on this checkpoint — the "
-                f"under-gate quality cells were measured at 0.948 (the "
-                f"over-gate ones at 0.854); raise the layer count or "
+                f"under-gate quality cells were measured at 0.917-0.975 "
+                f"(the over-gate ones at 0.854); raise the layer count or "
                 f"treat quality as unbounded.",
                 file=sys.stderr)
         elif self.cfg.verbose:
