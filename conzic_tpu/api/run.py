@@ -82,6 +82,12 @@ def save_results(cfg, run_type, all_results, sample_id):
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     add_reference_args(parser)
+    parser.add_argument("--prefetch_workers", type=int, default=1,
+                        help="host decode/preprocess threads feeding the "
+                             "device loop (HOST_FEED.json: 1 worker "
+                             "sustains ~90 images/s on a 1-core host — "
+                             "~1 chip at the fast tiers; raise on "
+                             "multi-core production hosts)")
     parser.add_argument("--random_models", nargs="?", const="full",
                         choices=["full", "tiny"], default=False,
                         help="deterministic random-init models instead of "
@@ -130,6 +136,7 @@ def main(argv=None):
         for batch_idx, (pixels, names) in enumerate(prefetch_map(
             host_pipeline,
             iter_image_batches(cfg.caption_img_path, cfg.batch_size, logger),
+            workers=args.prefetch_workers,
         )):
             logger.info(f"The {batch_idx + 1}-th batch:")
             image_embeds = captioner.encode_images(pixels)

@@ -418,3 +418,36 @@ def test_prefetch_map_abandoned_consumer_releases_worker():
             break
         _time.sleep(0.05)
     assert not extra, f"prefetch worker leaked: {extra}"
+
+
+def test_prefetch_map_pool_workers_order_errors_and_cleanup():
+    """workers>1 path (the multi-core host-feed lever, HOST_FEED.json):
+    order preserved, in-order exception propagation, no leaked threads
+    when the consumer abandons the generator."""
+    import threading
+    import time
+
+    from conzic_tpu.runtime.prefetch import prefetch_map
+
+    assert list(prefetch_map(lambda x: x * 2, range(17), workers=4)) == [
+        x * 2 for x in range(17)
+    ]
+
+    def boom(x):
+        if x == 5:
+            raise ValueError("x5")
+        return x
+
+    got = []
+    with pytest.raises(ValueError):
+        for v in prefetch_map(boom, range(10), workers=4):
+            got.append(v)
+    assert got == [0, 1, 2, 3, 4]
+
+    before = set(threading.enumerate())
+    gen = prefetch_map(lambda x: x, range(100), workers=4)
+    next(gen)
+    gen.close()
+    time.sleep(0.3)
+    extra = [t for t in set(threading.enumerate()) - before if t.is_alive()]
+    assert not extra, f"pool thread leaked: {extra}"

@@ -64,6 +64,9 @@ def main():
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--quality", type=int, default=90)
     p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--workers", type=int, default=1,
+                   help="prefetch_map decode threads (the multi-core "
+                        "scaling lever; 1 = the production default)")
     p.add_argument("--repeats", type=int, default=3,
                    help="passes over the directory (first pass warms the "
                         "page cache; the ceiling quotes the later passes)")
@@ -93,6 +96,7 @@ def main():
             for pixels, names in prefetch_map(
                 host_pipeline,
                 iter_image_batches(d, args.batch_size, logger),
+                workers=args.workers,
             ):
                 # no-op device step: touch the buffer like encode_images
                 # would (materialized array, correct shape/dtype)
@@ -105,9 +109,9 @@ def main():
 
         # chips one host can feed, per published tier (BASELINE.md ladder)
         tiers = {
-            "prune3+approx0.90 (82.4 caps/s/chip)": 82.4,
-            "prune5 exact (52.5)": 52.5,
-            "factorized fact50 (see BASELINE r4)": None,
+            "prune3+approx0.90 (82.4 caps/s/chip, over-gate)": 82.4,
+            "fact17pc24 (55.76, under-gate)": 55.76,
+            "fact50pc24 (31.2, under-gate)": 31.2,
             "full parity (3.25)": 3.25,
         }
         doc = {
@@ -118,6 +122,7 @@ def main():
                 "jpeg": f"{args.width}x{args.height}@q{args.quality}",
                 "image_size": args.image_size,
                 "prefetch_depth": 1,
+                "workers": args.workers,
                 "host": f"nproc={os.cpu_count()}",
             },
             "max_chips_per_host": {
