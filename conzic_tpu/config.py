@@ -175,7 +175,9 @@ class ConzicConfig:
         assert self.mask_impl in ("gather", "compare")
         assert 1 <= self.clip_len <= 77
         assert self.prune_stage1 in ("proxy", "factorized")
-        assert self.prune_stage1_layers >= 1
+        assert self.prune_stage1_layers >= 0  # 0 = auto-select at
+        # calibration time (smallest depth clearing the measured
+        # held-out-cosine pass band; sampler._ensure_stage1_calibration)
         assert self.prune_stage1_precut >= 0
         if self.prune_stage1 == "factorized":
             assert self.prune_k > 0, "--prune_stage1 factorized requires --prune_k"
@@ -248,7 +250,9 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                         "full encode per candidate)")
     p.add_argument("--prune_stage1_layers", type=int,
                    default=d.prune_stage1_layers,
-                   help="text-tower layers the factorized stage-1 runs")
+                   help="text-tower layers the factorized stage-1 runs "
+                        "(0 = auto: smallest depth whose calibration "
+                        "held-out cosine clears the measured pass band)")
     p.add_argument("--prune_stage1_precut", type=int,
                    default=d.prune_stage1_precut,
                    help="factorized cascade: proxy pre-cut width m "

@@ -396,17 +396,18 @@ class Captioner:
             truncated_text_params,
         )
 
-        n_layers = self.cfg.prune_stage1_layers
+        requested = self.cfg.prune_stage1_layers
         full_layers = self.clip_model.config.text.num_layers
-        if not 1 <= n_layers < full_layers:
+        if requested and not 1 <= requested < full_layers:
             raise ValueError(
-                f"prune_stage1_layers={n_layers} must be in [1, "
-                f"{full_layers - 1}] (full tower has {full_layers} layers)")
+                f"prune_stage1_layers={requested} must be in [1, "
+                f"{full_layers - 1}] (full tower has {full_layers} layers) "
+                "or 0 for auto-select")
         if self.cfg.scan_layers:
             raise ValueError(
                 "factorized stage-1 needs unrolled layer params "
                 "(scan_layers=False)")
-        meta = (n_layers, self.cfg.clip_len)
+        meta = (requested, self.cfg.clip_len)
         if ("stage1_wcal" in self.tables
                 and getattr(self, "_stage1_meta", None) == meta):
             return
@@ -430,41 +431,78 @@ class Captioner:
 
         from conzic_tpu.models.clip import CLIPModel as _CM
 
-        tcfg = _dc.replace(self.clip_model.config.text, num_layers=n_layers)
-        tower = CLIPTextTower(tcfg, dtype=self.clip_model.dtype,
-                              attn_impl=self.cfg.attn_impl,
-                              quant=self.clip_model.quant)
         encode_full = jax.jit(lambda p, i, m: self.clip_model.apply(
             {"params": p}, i, m, method=_CM.encode_text))
-        encode_trunc = jax.jit(lambda p, i, m: tower.apply({"params": p}, i, m))
-        tparams = truncated_text_params(self.params["clip"], n_layers)
         chunk = 1024
-        tgt, pooled = [], []
+        tgt = []
         for s in range(0, n_sentences, chunk):
             i_c = jnp.asarray(rows[s : s + chunk])
             m_c = jnp.asarray(mask[s : s + chunk])
             tgt.append(np.asarray(encode_full(self.params["clip"], i_c, m_c),
                                   np.float32))
-            pooled.append(np.asarray(encode_trunc(tparams, i_c, m_c),
-                                     np.float32))
         y = np.concatenate(tgt).astype(np.float64)
-        h = np.concatenate(pooled).astype(np.float64)
-        # held-out fidelity: the per-checkpoint transferability contract.
-        # The trained-weights quality cells (PRUNING_MATRIX "trained")
-        # were measured at calibration cosine ~0.95 (half tower depth,
-        # FACTORIZED_FIDELITY.json); a checkpoint+layer-count whose fit
-        # lands materially below that is OUTSIDE the measured evidence —
-        # warn rather than silently degrade.
-        n_hold = max(32, len(h) // 8)
-        h_fit, y_fit = h[:-n_hold], y[:-n_hold]
-        w = np.linalg.solve(
-            h_fit.T @ h_fit + 1e-3 * np.eye(h.shape[1]), h_fit.T @ y_fit)
-        pred = h[-n_hold:] @ w
-        tgt_h = y[-n_hold:]
-        cos = np.sum(pred * tgt_h, axis=1) / (
-            np.linalg.norm(pred, axis=1) * np.linalg.norm(tgt_h, axis=1)
-            + 1e-9)
-        self.stage1_calib_cos = float(np.mean(cos))
+        n_hold = max(32, len(y) // 8)
+
+        def fit(nl):
+            """Held-out ridge fit at nl layers -> (w, mean holdout cos).
+            The holdout is the per-checkpoint transferability contract
+            (see the pass-band comment below)."""
+            tcfg = _dc.replace(
+                self.clip_model.config.text, num_layers=nl)
+            tower = CLIPTextTower(tcfg, dtype=self.clip_model.dtype,
+                                  attn_impl=self.cfg.attn_impl,
+                                  quant=self.clip_model.quant)
+            encode_trunc = jax.jit(
+                lambda p, i, m: tower.apply({"params": p}, i, m))
+            tparams = truncated_text_params(self.params["clip"], nl)
+            pooled = []
+            for s in range(0, n_sentences, chunk):
+                i_c = jnp.asarray(rows[s : s + chunk])
+                m_c = jnp.asarray(mask[s : s + chunk])
+                pooled.append(np.asarray(encode_trunc(tparams, i_c, m_c),
+                                         np.float32))
+            h = np.concatenate(pooled).astype(np.float64)
+            h_fit, y_fit = h[:-n_hold], y[:-n_hold]
+            w = np.linalg.solve(
+                h_fit.T @ h_fit + 1e-3 * np.eye(h.shape[1]),
+                h_fit.T @ y_fit)
+            pred = h[-n_hold:] @ w
+            tgt_h = y[-n_hold:]
+            cos = np.sum(pred * tgt_h, axis=1) / (
+                np.linalg.norm(pred, axis=1)
+                * np.linalg.norm(tgt_h, axis=1) + 1e-9)
+            return w, float(np.mean(cos))
+
+        if requested:
+            n_layers = requested
+            w, calib = fit(n_layers)
+        else:
+            # auto-select (--prune_stage1_layers 0): the SMALLEST layer
+            # count from 2 (the measured floor — 1 layer failed the gate
+            # on both trained towers) whose held-out cosine clears the
+            # pass band; fall back to the best seen. One extra encode
+            # pass per probed depth — seconds on a real checkpoint.
+            best = None
+            n_layers = w = calib = None
+            # floor 2 where the tower allows it (1 layer failed the gate
+            # on both trained towers); a 2-layer tower can only probe 1
+            for nl in range(min(2, full_layers - 1), full_layers):
+                w_nl, cos_nl = fit(nl)
+                if best is None or cos_nl > best[2]:
+                    best = (nl, w_nl, cos_nl)
+                if cos_nl >= 0.92:
+                    n_layers, w, calib = nl, w_nl, cos_nl
+                    break
+            if n_layers is None:
+                n_layers, w, calib = best
+            self.cfg.prune_stage1_layers = n_layers  # sticky resolve:
+            # the engine spec and the bench metric label read the
+            # concrete depth from here on
+            if self.cfg.verbose:
+                print(f"factorized stage-1 auto-selected "
+                      f"{n_layers}/{full_layers} layers "
+                      f"(held-out cosine {calib:.4f})")
+        self.stage1_calib_cos = calib
         # measured pass/fail boundary across BOTH trained towers
         # (PRUNING_MATRIX "trained"): every under-gate factorized cell ran
         # at held-out cosine >= 0.917 (12-layer tower, 2 layers) and the
@@ -486,7 +524,10 @@ class Captioner:
                   f"{self.stage1_calib_cos:.4f} (layers={n_layers})")
         self.tables["stage1_wcal"] = mesh_lib.replicate(
             self.mesh, jnp.asarray(w.astype(np.float32)))
-        self._stage1_meta = meta
+        # cache under BOTH the request key (0 = auto) and the resolved
+        # concrete depth — a later run with either value reuses the fit
+        self._stage1_meta = (self.cfg.prune_stage1_layers,
+                             self.cfg.clip_len)
 
     def init_ids(self, prompt: str, max_len: int, batch_size: int) -> np.ndarray:
         """[CLS] prompt [MASK]*L [SEP], replicated (utils.py:46-51)."""

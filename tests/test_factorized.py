@@ -305,3 +305,25 @@ def test_cascade_rejects_precut_not_exceeding_prune_k():
 
 def test_host_stepped_cascade_matches_callback(monkeypatch):
     _host_vs_callback_pruned(monkeypatch, stage1="factorized", precut=5)
+
+
+def test_auto_layer_selection_resolves_and_caches(cap):
+    """--prune_stage1_layers 0: auto-select the smallest depth clearing
+    the calibration pass band (floor 2), sticky-resolved into cfg."""
+    cap.cfg.prune_stage1_layers = 0
+    cap._stage1_meta = None
+    try:
+        cap._ensure_stage1_calibration(n_sentences=96)
+        chosen = cap.cfg.prune_stage1_layers
+        full = cap.clip_model.config.text.num_layers
+        assert min(2, full - 1) <= chosen < full
+        assert 0.0 < cap.stage1_calib_cos <= 1.0
+        w = np.asarray(cap.tables["stage1_wcal"])
+        # resolved value re-enters as a cache hit (no refit)
+        cap._ensure_stage1_calibration(n_sentences=96)
+        np.testing.assert_array_equal(
+            w, np.asarray(cap.tables["stage1_wcal"]))
+        assert cap.cfg.prune_stage1_layers == chosen
+    finally:
+        cap.cfg.prune_stage1_layers = 1
+        cap._stage1_meta = None
