@@ -228,9 +228,13 @@ def main():
         imgs, gt_caps, scenes = get_data(n)
         pils = [Image.fromarray(imgs[i]) for i in range(n)]
         embeds = cap.encode_images(pils)
+        # non-default scene seeds get an @s<seed> key suffix (seed
+        # replication cells must not overwrite the primary estimate)
+        key_seed = 0 if args.scene_seed == 9000 else args.scene_seed
         key = cell_key(ctl=ctl, prune_k=pk, topk_mode=mode, recall=recall,
                        final_exact=fe, n_images=n, clip_len=clip_len,
-                       stage1=stage1, stage1_pct=s1_pct, precut=precut)
+                       stage1=stage1, stage1_pct=s1_pct, precut=precut,
+                       seed=key_seed)
         if args.cpu:
             key += "+CPU-SMOKE"
         print(f"--- trained/{key}", flush=True)
