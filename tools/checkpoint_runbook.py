@@ -114,6 +114,21 @@ def main():
             if smoke else [*models])
     run_step("pruning_matrix", cmd, steps)
 
+    # 2b. the factorized speed tier on these weights (the r4 flagship):
+    # auto-selects the stage-1 depth at the calibration pass band and
+    # prints the held-out cosine + full-vs-factorized quality deltas —
+    # checkpoint day's answer to "what depth does the REAL tower need,
+    # and does fact<pct>pc24 hold its gate there?"
+    cmd = [py, "tools/validate_pruning.py", "--prune_stage1", "factorized",
+           "--topk_mode", "approx", "--topk_recall", "0.90", *cpu]
+    cmd += (["--random_models", "tiny", "--iters", "2", "--n_images", "2",
+             "--sentence_len", "5", "--k", "16", "--prune_k", "4",
+             "--stage1_layers", "1", "--stage1_precut", "8"]
+            if smoke else
+            ["--prune_k", "3", "--stage1_layers", "0",
+             "--stage1_precut", "24", *models])
+    run_step("factorized_tier", cmd, steps)
+
     # 3. int8 tier quality (both tiers: CLIP-scoring-only and +BERT)
     for tier in ("int8", "int8_all"):
         cmd = [py, "tools/validate_quant.py", "--quant", tier, *cpu]

@@ -46,7 +46,8 @@ def session_tag() -> str:
     if tag:
         return tag
     return (socket.gethostname() + ":"
-            + datetime.datetime.utcnow().strftime("%Y-%m-%d"))
+            + datetime.datetime.now(datetime.timezone.utc)
+            .strftime("%Y-%m-%d"))
 
 
 def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
@@ -182,6 +183,16 @@ def main():
                    help="stage-1 candidate top-k of the PRUNED run "
                         "(approx = approx_max_k; exact on CPU backends)")
     p.add_argument("--topk_recall", type=float, default=0.95)
+    p.add_argument("--prune_stage1", default="proxy",
+                   choices=["proxy", "factorized"],
+                   help="stage-1 scorer (factorized = truncated tower + "
+                        "calibrated projection; the r4 quality-at-speed "
+                        "tier)")
+    p.add_argument("--stage1_layers", type=int, default=2,
+                   help="factorized depth; 0 = auto-select at the "
+                        "calibration pass band (checkpoint-day mode)")
+    p.add_argument("--stage1_precut", type=int, default=0,
+                   help="factorized cascade pre-cut width (0 = off)")
     p.add_argument("--quant", default="none",
                    choices=["none", "int8", "int8_all"],
                    help="quantize the PRUNED side (cells gain a +<tier> "
@@ -211,6 +222,17 @@ def main():
     cfg.verbose = False
     cap = build_captioner(cfg, random_models=args.random_models)
     cap.cfg.verbose = False
+    cap.cfg.prune_stage1 = args.prune_stage1
+    cap.cfg.prune_stage1_layers = args.stage1_layers
+    cap.cfg.prune_stage1_precut = args.stage1_precut
+    if args.prune_stage1 == "factorized" and args.stage1_layers == 0:
+        # resolve auto-depth NOW so the cell keys (and the printed
+        # summary) carry the concrete depth the runs will use
+        cap._ensure_stage1_calibration()
+        print(f"factorized auto-depth: "
+              f"{cap.cfg.prune_stage1_layers}/"
+              f"{cap.clip_model.config.text.num_layers} layers, "
+              f"calibration held-out cosine {cap.stage1_calib_cos:.4f}")
     cap_pruned = None
     if args.quant != "none":
         cap_pruned = build_quant_captioner(
@@ -236,6 +258,14 @@ def main():
             sys.exit(2)
         cell = run_cell(cap, embeds, order="sequential", ctl=None,
                         prune_k=args.prune_k, **common)
+        if args.prune_stage1 == "factorized":
+            print(f"stage-1: factorized "
+                  f"{cap.cfg.prune_stage1_layers} layers"
+                  + (f", pre-cut {args.stage1_precut}"
+                     if args.stage1_precut else "")
+                  + (f", calibration held-out cosine "
+                     f"{cap.stage1_calib_cos:.4f}"
+                     if hasattr(cap, "stage1_calib_cos") else ""))
         print(f"caption exact-match: {cell['caption_exact']:.2%}")
         print(f"token agreement:     {cell['token_agreement']:.2%}")
         print(f"best-cosine delta (full - pruned): "
@@ -271,9 +301,13 @@ def main():
     # are the matrix-wide config recorded in the artifact header), so
     # those dimensions stay at cell_key's defaults here
     def job_key(o, c, pk, fe):
+        pct = round(100 * cap.cfg.prune_stage1_layers
+                    / cap.clip_model.config.text.num_layers)
         return cell_key(order=o, ctl=c, prune_k=pk,
                         topk_mode=args.topk_mode, recall=args.topk_recall,
-                        final_exact=fe, quant=args.quant)
+                        final_exact=fe, quant=args.quant,
+                        stage1=args.prune_stage1, stage1_pct=pct,
+                        precut=args.stage1_precut)
 
     if args.merge:
         jobs = [j for j in jobs if job_key(*j) not in cells]
