@@ -61,6 +61,10 @@ STAGE1 = os.environ.get("CONZIC_BENCH_STAGE1", "proxy")
 STAGE1_LAYERS = int(os.environ.get("CONZIC_BENCH_STAGE1_LAYERS", "2"))
 # factorized cascade: proxy pre-cut width m (k -> m -> prune_k); 0 = off
 STAGE1_PRECUT = int(os.environ.get("CONZIC_BENCH_STAGE1_PRECUT", "0"))
+# controlled generation: "" (free captioning, the default headline) |
+# "sentiment" | "pos" — the reference's control feature, benched with
+# gamma=5.0 and the default table energies
+CTL = os.environ.get("CONZIC_BENCH_CTL", "") or None
 # Engine compiler options: None = keep ConzicConfig's default (the
 # tools/flag_sweep.py winner, measured +3-5% full parity at B=32 —
 # config.py is the single source of truth). CONZIC_BENCH_XLA_OPTIONS
@@ -195,7 +199,9 @@ def bench_ours() -> float:
             max_iter=ITERS,
             alpha=0.02,
             beta=2.0,
+            gamma=5.0 if CTL else 0.0,
             order="sequential",
+            ctl=CTL,
             rng=np.random.RandomState(42),
             prune_k=PRUNE,
             prune_final_exact=PRUNE_FINAL_EXACT,
@@ -367,7 +373,7 @@ def check_prune_quality():
     # generation) — an endswith-only match would let shuffle/ctl cells
     # for the same prune/mode point gate (and the last-inserted would
     # silently win over the free cell)
-    head = f"sequential/free/prune{PRUNE}{suffix}"
+    head = f"sequential/{CTL or 'free'}/prune{PRUNE}{suffix}"
     # cells re-measured at a larger sample carry an @n<N> suffix; the
     # largest-sample cell is the best estimator of this operating point
     # (unsuffixed cells are the 4-image default). Long-context cells
@@ -385,8 +391,8 @@ def check_prune_quality():
               f"on the clip_len=24 cells for this prune/mode point.",
               file=sys.stderr)
     if cell is None:
-        print(f"WARNING: PRUNING_MATRIX.json has no cell for prune_k={PRUNE}"
-              f"{suffix} — this operating point's quality is unmeasured "
+        print(f"WARNING: PRUNING_MATRIX.json has no cell for {head} "
+              f"— this operating point's quality is unmeasured "
               f"(tools/validate_pruning.py --matrix --merge / "
               f"tools/approx_quality_cells.py adds it).",
               file=sys.stderr)
@@ -480,6 +486,7 @@ def main():
 
     print(json.dumps({
         "metric": f"captions/sec/chip len={SENTENCE_LEN} iters={ITERS} k={K} B={BATCH}"
+                  + (f" ctl={CTL}" if CTL else "")
                   + (f" clip_len={CLIP_LEN}" if CLIP_LEN != 24 else "")
                   + (f" prune_k={PRUNE}" if PRUNE else "")
                   + ((f" stage1=fact{EFFECTIVE.get('stage1_pct')}"

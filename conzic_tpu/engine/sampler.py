@@ -389,8 +389,6 @@ class Captioner:
         Checkpoint-specific and cheap (one chunked encode pass + an HxH
         host solve) — viable for real checkpoints too. Recomputed when
         prune_stage1_layers or clip_len changes."""
-        import dataclasses as _dc
-
         from conzic_tpu.models.clip import (
             CLIPTextTower,
             truncated_text_params,
@@ -429,10 +427,8 @@ class Captioner:
             rows[i, : len(row)] = row
             mask[i, : len(row)] = 1
 
-        from conzic_tpu.models.clip import CLIPModel as _CM
-
         encode_full = jax.jit(lambda p, i, m: self.clip_model.apply(
-            {"params": p}, i, m, method=_CM.encode_text))
+            {"params": p}, i, m, method=CLIPModel.encode_text))
         chunk = 1024
         tgt = []
         for s in range(0, n_sentences, chunk):
@@ -447,7 +443,7 @@ class Captioner:
             """Held-out ridge fit at nl layers -> (w, mean holdout cos).
             The holdout is the per-checkpoint transferability contract
             (see the pass-band comment below)."""
-            tcfg = _dc.replace(
+            tcfg = dataclasses.replace(
                 self.clip_model.config.text, num_layers=nl)
             tower = CLIPTextTower(tcfg, dtype=self.clip_model.dtype,
                                   attn_impl=self.cfg.attn_impl,

@@ -46,12 +46,12 @@ def bench_mod(tmp_path, monkeypatch):
 
 def _gate_stderr(bench, capsys, *, prune, mode="exact", recall=0.95,
                  final_exact=False, quant="none", stage1="proxy",
-                 stage1_pct=None, precut=0):
+                 stage1_pct=None, precut=0, ctl=None):
     for name, val in (("PRUNE", prune), ("TOPK_MODE", mode),
                       ("TOPK_RECALL", recall),
                       ("PRUNE_FINAL_EXACT", final_exact),
                       ("QUANT", quant), ("STAGE1", stage1),
-                      ("STAGE1_PRECUT", precut)):
+                      ("STAGE1_PRECUT", precut), ("CTL", ctl)):
         setattr(bench, name, val)
     bench.EFFECTIVE.pop("quant", None)  # gate falls back to QUANT
     if stage1_pct is None:
@@ -161,7 +161,7 @@ def test_quant_run_never_borrows_the_fp_cell(bench_mod, capsys):
     # cell never measured — it must warn "no cell" until a +<tier> cell
     # exists, then gate on that cell
     err = _gate_stderr(bench_mod, capsys, prune=5, quant="int8")
-    assert "no cell" in err and "prune_k=5+int8" in err
+    assert "no cell" in err and "sequential/free/prune5+int8" in err
     cells = {
         "sequential/free/prune5": {"best_cosine_delta": 0.004},
         "sequential/free/prune5+int8": {"best_cosine_delta": 0.02},
@@ -186,7 +186,7 @@ def test_factorized_run_gates_on_its_fact_cell(bench_mod, capsys):
     # (depth PERCENT of the built tower, EFFECTIVE["stage1_pct"])
     err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized",
                        stage1_pct=50)
-    assert "no cell" in err and "prune_k=5+fact50" in err
+    assert "no cell" in err and "sequential/free/prune5+fact50 " in err
     cells = {
         "sequential/free/prune5": {"best_cosine_delta": 0.02},
         "sequential/free/prune5+fact50": {"best_cosine_delta": 0.002},
@@ -201,27 +201,27 @@ def test_factorized_run_gates_on_its_fact_cell(bench_mod, capsys):
     # depth percent is part of the operating point
     err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized",
                        stage1_pct=25)
-    assert "no cell" in err and "prune_k=5+fact25" in err
+    assert "no cell" in err and "sequential/free/prune5+fact25 " in err
     # the cascade pre-cut is too (and resolves when its cell exists)
     assert _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized",
                         stage1_pct=50, precut=24) == ""
     err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized",
                        stage1_pct=50, precut=48)
-    assert "no cell" in err and "prune_k=5+fact50pc48" in err
+    assert "no cell" in err and "sequential/free/prune5+fact50pc48 " in err
     # without a built model, the gate falls back to the full-size
     # 12-layer tower for the percent
     bench_mod.STAGE1_LAYERS = 6
     err = _gate_stderr(bench_mod, capsys, prune=5, stage1="factorized")
-    assert "prune_k=5+fact50" not in err  # fact50 cell exists -> no warn
+    assert "sequential/free/prune5+fact50 " not in err  # fact50 cell exists -> no warn
     bench_mod.STAGE1_LAYERS = 2
 
 
 def test_missing_cell_warns_with_mode_suffix(bench_mod, capsys):
     err = _gate_stderr(bench_mod, capsys, prune=7, mode="approx", recall=0.9)
-    assert "no cell" in err and "prune_k=7+approx0.9" in err
+    assert "no cell" in err and "sequential/free/prune7+approx0.9 " in err
     # a different recall must NOT match the 0.95 approx cell
     err = _gate_stderr(bench_mod, capsys, prune=5, mode="approx", recall=0.9)
-    assert "no cell" in err and "prune_k=5+approx0.9" in err
+    assert "no cell" in err and "sequential/free/prune5+approx0.9 " in err
 
 
 def test_trained_cells_take_precedence(bench_mod, capsys):
@@ -369,3 +369,21 @@ def test_committed_matrix_keys_parse():
     missing = [k for k, c in all_cells.items()
                if "best_cosine_delta" not in c]
     assert not missing, missing
+
+
+def test_ctl_bench_gates_on_its_ctl_cell(bench_mod, capsys):
+    # CONZIC_BENCH_CTL=pos must gate on sequential/pos/... — never the
+    # free cell (and vice versa: the free bench never borrows ctl cells,
+    # test_gate_is_anchored_to_free_sequential)
+    cells = {
+        "sequential/free/prune5": {"best_cosine_delta": 0.004},
+        "sequential/pos/prune5": {"best_cosine_delta": 0.02},
+    }
+    path = os.path.join(os.path.dirname(bench_mod.__file__),
+                        "PRUNING_MATRIX.json")
+    with open(path, "w") as f:
+        json.dump({"weights": "synthetic", "cells": cells}, f)
+    err = _gate_stderr(bench_mod, capsys, prune=5, ctl="pos")
+    assert "+0.0200" in err and "quality-degraded" in err
+    err = _gate_stderr(bench_mod, capsys, prune=5, ctl="sentiment")
+    assert "no cell" in err and "sequential/sentiment/prune5 " in err
