@@ -131,13 +131,12 @@ def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
         % dict(zip(mesh.axis_names, mesh.devices.shape))["data"] == 0
     )
     if dp:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec
 
         spec_2d = PartitionSpec("data", None)
-        top_probs, idxs = shard_map(
+        top_probs, idxs = jax.shard_map(
             _topk, mesh=mesh, in_specs=spec_2d,
-            out_specs=(spec_2d, spec_2d), check_rep=False,
+            out_specs=(spec_2d, spec_2d), check_vma=False,
         )(probs)
     else:
         top_probs, idxs = _topk(probs)
