@@ -65,6 +65,10 @@ def main():
     p.add_argument("--topk_mode", choices=["exact", "approx"], default="exact",
                    help="stage-1 candidate top-k (approx requires --prune_k)")
     p.add_argument("--topk_recall", type=float, default=0.95)
+    p.add_argument("--prune_stage1", choices=["proxy", "factorized"],
+                   default="proxy")
+    p.add_argument("--stage1_layers", type=int, default=2)
+    p.add_argument("--stage1_precut", type=int, default=0)
     p.add_argument("--trace_dir", default=None)
     p.add_argument("--dump_hlo", default=None,
                    help="write the engine program's optimized HLO text here "
@@ -93,6 +97,9 @@ def main():
     if args.prune_k:  # the sampler refuses approx without prune_k
         cap.cfg.topk_mode = args.topk_mode
         cap.cfg.topk_recall = args.topk_recall
+        cap.cfg.prune_stage1 = args.prune_stage1
+        cap.cfg.prune_stage1_layers = args.stage1_layers
+        cap.cfg.prune_stage1_precut = args.stage1_precut
     image_embeds = jnp.asarray(
         np.random.RandomState(0)
         .randn(args.batch, cap.clip_model.config.projection_dim)
