@@ -74,6 +74,24 @@ XLA_OPTIONS = os.environ.get("CONZIC_BENCH_XLA_OPTIONS")
 # bench harness itself on CPU (tools/checkpoint_runbook.py); NOT a valid
 # headline configuration
 SMALL_MODELS = os.environ.get("CONZIC_BENCH_SMALL_MODELS") == "1"
+
+# fail fast on typo'd knob values: these env strings bypass
+# ConzicConfig.validate() (they mutate cfg post-__post_init__) and every
+# consumer compares == "literal", so e.g. STAGE1=factorised would
+# SILENTLY measure the proxy tier under a factorized label and
+# CTL=sentimnet would report a free-generation number as a ctl one —
+# the vacuous-measurement failure mode (cf. the r2 int8 no-op bench)
+for _name, _val, _allowed in (
+    ("CONZIC_BENCH_TOPK_MODE", TOPK_MODE, ("exact", "approx")),
+    ("CONZIC_BENCH_MASK_IMPL", MASK_IMPL, ("gather", "compare")),
+    ("CONZIC_BENCH_QUANT", QUANT, ("none", "int8", "int8_all")),
+    ("CONZIC_BENCH_STAGE1", STAGE1, ("proxy", "factorized")),
+    ("CONZIC_BENCH_CTL", CTL, (None, "sentiment", "pos")),
+    ("CONZIC_BENCH_ATTN", ATTN, ("xla", "pallas", "pallas_out",
+                                 "pallas_block", "twoblock", "xla_bhsd")),
+):
+    if _val not in _allowed:
+        sys.exit(f"{_name}={_val!r} is not one of {_allowed}")
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 # effective (post-backend-clamp) settings recorded by build_captioner for
 # the metric label
@@ -208,6 +226,14 @@ def bench_ours() -> float:
         )
 
     run()  # warmup + compile
+    if PRUNE and STAGE1 == "factorized":
+        # auto depth (CONZIC_BENCH_STAGE1_LAYERS=0) sticky-resolves inside
+        # run(); the gate lookup and the metric label must describe the
+        # depth that actually ran, not the pre-build request (which would
+        # key a nonexistent "+fact0" cell)
+        EFFECTIVE["stage1_pct"] = round(
+            100 * cap.cfg.prune_stage1_layers
+            / cap.clip_model.config.text.num_layers)
     t0 = time.time()
     runs = 0
     while True:

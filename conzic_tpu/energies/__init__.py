@@ -34,6 +34,52 @@ def masked_lm_probs(
     return probs * token_mask
 
 
+def _pure_dp_rows(mesh, batch: int) -> bool:
+    """True when ``mesh`` is a pure data-parallel layout whose data axis
+    divides ``batch`` — the regime where row-local ops must be computed
+    under shard_map to keep the program collective-free (TP meshes
+    legitimately collect over their model axis; mesh=None keeps the
+    measured single-chip HLO untouched)."""
+    if mesh is None or "data" not in mesh.axis_names:
+        return False
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return (
+        axes.get("data", 1) > 1
+        and all(n == "data" or s == 1 for n, s in axes.items())
+        and batch % axes["data"] == 0
+    )
+
+
+def _shard_map_rows(fn, mesh):
+    """shard_map ``fn`` over the data axis of a (B, ...) operand —
+    byte-identical for row-local ``fn`` (no cross-row interaction)."""
+    from jax.sharding import PartitionSpec
+
+    spec_2d = PartitionSpec("data", None)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=spec_2d,
+        out_specs=(spec_2d, spec_2d), check_vma=False,
+    )
+
+
+def dp_local_top_k(scores: jax.Array, k: int, mesh=None):
+    """``lax.top_k`` over (B, n) scores with the pure-DP mesh treatment:
+    XLA lowers top_k to a TopK custom call the SPMD partitioner
+    all-gathers batch-sharded operands around — observed even at (B, 8)
+    proxy scores on the 8-device dryrun (the leak is the custom call,
+    not the operand width; __graft_entry__._assert_dp_axis_collective_free
+    caught the pruned tiers' cuts leaking after the wide-vocab fix).
+    Row-local, so the shard_map form is byte-identical; mesh=None / TP
+    meshes keep the plain call (single-chip HLO untouched)."""
+    def _topk(s):
+        v, i = jax.lax.top_k(s, k)
+        return v, i
+
+    if _pure_dp_rows(mesh, scores.shape[0]):
+        return _shard_map_rows(_topk, mesh)(scores)
+    return _topk(scores)
+
+
 def exact_topk_2stage(probs: jax.Array, k: int, chunk: int = 4096):
     """Exact top-k over a large minor axis via per-chunk top-k + merge.
 
@@ -110,34 +156,18 @@ def topk_candidates(probs: jax.Array, token_mask: jax.Array, k: int,
             v, i = jax.lax.top_k(p, k)
         return v, i  # normalized pytree (lax.top_k yields a list)
 
-    # On a pure-DP mesh, XLA lowers wide top_k to a TopK custom call the
+    # On a pure-DP mesh, XLA lowers top_k to a TopK custom call the
     # SPMD partitioner cannot partition: it all-gathers the batch-sharded
-    # (B, V) probs onto every device (observed at V=30522 on the 8-device
-    # dryrun — __graft_entry__.dryrun_fullsize_collectives), breaking the
-    # zero-collective linear-scaling property. top_k has no cross-row
-    # interaction, so computing each device's rows locally under
-    # shard_map is byte-identical and keeps the program collective-free.
-    # TP meshes (model axis > 1) keep the default path: their vocab-dim
-    # sharding legitimately collects over the model axis.
-    dp = (
-        mesh is not None
-        and "data" in mesh.axis_names
-        and dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1) > 1
-        and all(
-            n == "data" or s == 1
-            for n, s in zip(mesh.axis_names, mesh.devices.shape)
-        )
-        and probs.shape[0]
-        % dict(zip(mesh.axis_names, mesh.devices.shape))["data"] == 0
-    )
-    if dp:
-        from jax.sharding import PartitionSpec
-
-        spec_2d = PartitionSpec("data", None)
-        top_probs, idxs = jax.shard_map(
-            _topk, mesh=mesh, in_specs=spec_2d,
-            out_specs=(spec_2d, spec_2d), check_vma=False,
-        )(probs)
+    # probs onto every device (observed at V=30522 AND at (B, 8) proxy
+    # scores on the 8-device dryrun — the leak is the custom call itself,
+    # not the operand width), breaking the zero-collective linear-scaling
+    # property. top_k has no cross-row interaction, so computing each
+    # device's rows locally under shard_map is byte-identical and keeps
+    # the program collective-free. TP meshes (model axis > 1) keep the
+    # default path: their vocab-dim sharding legitimately collects over
+    # the model axis.
+    if _pure_dp_rows(mesh, probs.shape[0]):
+        top_probs, idxs = _shard_map_rows(_topk, mesh)(probs)
     else:
         top_probs, idxs = _topk(probs)
     if banned_ids is not None:

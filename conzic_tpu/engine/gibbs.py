@@ -392,7 +392,8 @@ def _position_update(
                     image_embeds, spec.seq_len,
                     exclude_slot=spec.order_kind == "parallel",
                 )
-                _, keep0 = jax.lax.top_k(proxy0, spec.stage1_precut)
+                _, keep0 = energies.dp_local_top_k(
+                    proxy0, spec.stage1_precut, mesh=mesh)
                 idxs = jnp.take_along_axis(idxs, keep0, axis=1)
                 top_probs = jnp.take_along_axis(top_probs, keep0, axis=1)
                 k = spec.stage1_precut
@@ -413,7 +414,8 @@ def _position_update(
             img_n = image_embeds.astype(jnp.float32)
             img_n = img_n / jnp.linalg.norm(img_n, axis=-1, keepdims=True)
             s1_scores = jnp.einsum("bkd,bd->bk", s1_emb, img_n)
-            _, keep = jax.lax.top_k(s1_scores, spec.prune_k)  # (B, k')
+            _, keep = energies.dp_local_top_k(
+                s1_scores, spec.prune_k, mesh=mesh)  # (B, k')
             preassembled = (
                 jnp.take_along_axis(ids_all, keep[:, :, None], axis=1),
                 jnp.take_along_axis(mask_all, keep[:, :, None], axis=1),
@@ -430,7 +432,8 @@ def _position_update(
                 tables["word_embeds"], base_ids, col, idxs, image_embeds,
                 spec.seq_len, exclude_slot=spec.order_kind == "parallel",
             )
-            _, keep = jax.lax.top_k(proxy, spec.prune_k)  # (B, k')
+            _, keep = energies.dp_local_top_k(
+                proxy, spec.prune_k, mesh=mesh)  # (B, k')
         idxs = jnp.take_along_axis(idxs, keep, axis=1)
         top_probs = jnp.take_along_axis(top_probs, keep, axis=1)
         k = spec.prune_k

@@ -113,6 +113,16 @@ def tower_quants(quant: str) -> tuple:
     return bert_q, clip_q
 
 
+# factorized stage-1 calibration pass band: every measured UNDER-gate
+# cell ran at held-out cosine 0.917-0.975 and the over-gate quarter-depth
+# cells at 0.854 (PRUNING_MATRIX "trained"); 0.91 is the pass band's
+# floor. Auto depth-select accepts the smallest depth clearing this, and
+# the runtime warning fires below it — one constant so the two can never
+# straddle a depth (a 0.92 auto band once rejected the flagship 2-of-12
+# depth whose holdout is 0.9166).
+STAGE1_CALIB_FLOOR = 0.91
+
+
 @dataclasses.dataclass
 class GenerationResult:
     gen_texts_list: List[List[str]]  # per-iteration captions + best at [-1]
@@ -208,6 +218,19 @@ class Captioner:
         from conzic_tpu.models.checkpoint import is_tiny_checkpoint
 
         if is_tiny_checkpoint(config.lm_model):
+            # a tiny dir carries BOTH towers; silently dropping a
+            # DIFFERENT --match_model would swap the requested CLIP
+            # scorer for the tiny one and report wrong numbers
+            default_match = type(config).__dataclass_fields__[
+                "match_model"].default  # unset -> the tiny dir's own CLIP
+            if config.match_model not in (
+                    None, "", config.lm_model, default_match):
+                raise ValueError(
+                    f"lm_model={config.lm_model!r} is a trained-tiny "
+                    f"checkpoint (single artifact with both towers) but "
+                    f"match_model={config.match_model!r} names a "
+                    f"different directory — pass the same path for both "
+                    f"(or leave match_model at its default).")
             return cls.from_tiny_dir(config, mesh=mesh)
         from conzic_tpu.models.convert import load_bert, load_clip
 
@@ -486,7 +509,9 @@ class Captioner:
                 w_nl, cos_nl = fit(nl)
                 if best is None or cos_nl > best[2]:
                     best = (nl, w_nl, cos_nl)
-                if cos_nl >= 0.92:
+                # accept exactly the depths the runtime warning below
+                # would not warn about (see STAGE1_CALIB_FLOOR)
+                if cos_nl >= STAGE1_CALIB_FLOOR:
                     n_layers, w, calib = nl, w_nl, cos_nl
                     break
             if n_layers is None:
@@ -499,17 +524,14 @@ class Captioner:
                       f"{n_layers}/{full_layers} layers "
                       f"(held-out cosine {calib:.4f})")
         self.stage1_calib_cos = calib
-        # measured pass/fail boundary across BOTH trained towers
-        # (PRUNING_MATRIX "trained"): every under-gate factorized cell ran
-        # at held-out cosine >= 0.917 (12-layer tower, 2 layers) and the
-        # over-gate quarter-depth-of-4 cells at 0.854 — warn below the
-        # pass band's floor. Fidelity tracks ABSOLUTE stage-1 layer count
+        # measured pass/fail boundary across BOTH trained towers — see
+        # STAGE1_CALIB_FLOOR. Fidelity tracks ABSOLUTE stage-1 layer count
         # (2-of-12 at 0.917 passes; 1-of-4 at 0.854 fails), so >= 2
         # layers is the practical minimum on any tower.
-        if self.stage1_calib_cos < 0.91:
+        if self.stage1_calib_cos < STAGE1_CALIB_FLOOR:
             print(
                 f"WARNING: factorized stage-1 calibration held-out cosine "
-                f"{self.stage1_calib_cos:.4f} < 0.91 for "
+                f"{self.stage1_calib_cos:.4f} < {STAGE1_CALIB_FLOOR} for "
                 f"prune_stage1_layers={n_layers} on this checkpoint — the "
                 f"under-gate quality cells were measured at 0.917-0.975 "
                 f"(the over-gate ones at 0.854); raise the layer count or "

@@ -387,3 +387,29 @@ def test_ctl_bench_gates_on_its_ctl_cell(bench_mod, capsys):
     assert "+0.0200" in err and "quality-degraded" in err
     err = _gate_stderr(bench_mod, capsys, prune=5, ctl="sentiment")
     assert "no cell" in err and "sequential/sentiment/prune5 " in err
+
+
+@pytest.mark.parametrize("name,val", [
+    ("CONZIC_BENCH_STAGE1", "factorised"),
+    ("CONZIC_BENCH_CTL", "sentimnet"),
+    ("CONZIC_BENCH_TOPK_MODE", "aprox"),
+    ("CONZIC_BENCH_QUANT", "int4"),
+])
+def test_env_knob_typos_fail_fast(name, val):
+    """Typo'd CONZIC_BENCH_* values must abort before any measurement:
+    they mutate cfg post-__post_init__ (bypassing ConzicConfig.validate)
+    and every consumer compares == "literal", so a typo would silently
+    bench a DIFFERENT tier under the requested label — the vacuous-
+    measurement failure mode (cf. the r2 int8 no-op bench)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("CONZIC_BENCH_")}
+    env[name] = val
+    r = subprocess.run(
+        [sys.executable, "-c", "import bench"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode != 0
+    assert name in (r.stderr + r.stdout)

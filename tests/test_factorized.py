@@ -327,3 +327,16 @@ def test_auto_layer_selection_resolves_and_caches(cap):
     finally:
         cap.cfg.prune_stage1_layers = 1
         cap._stage1_meta = None
+
+
+def test_auto_select_band_is_the_warn_floor_and_admits_the_flagship():
+    """The auto-select pass band and the runtime warning must share ONE
+    floor (STAGE1_CALIB_FLOOR): a 0.92 auto band once silently rejected
+    the flagship 2-of-12 depth, whose measured held-out cosine is 0.9166
+    with end-to-end cells UNDER the 0.01 gate (PRUNING_MATRIX trained,
+    fact17pc24). The floor must admit every measured under-gate depth
+    and exclude the measured failing one (1-of-4 at 0.854)."""
+    from conzic_tpu.engine import sampler
+
+    assert sampler.STAGE1_CALIB_FLOOR <= 0.9166
+    assert sampler.STAGE1_CALIB_FLOOR > 0.854

@@ -205,3 +205,22 @@ def test_fused_ln_backward_matches_reference():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_tiny_lm_model_with_different_match_model_raises(smoke_checkpoint,
+                                                         tmp_path):
+    """A trained-tiny checkpoint is a single artifact carrying BOTH
+    towers: silently ignoring a DIFFERENT --match_model would swap the
+    requested CLIP scorer for the tiny one and report wrong numbers."""
+    import pytest
+
+    from conzic_tpu.config import ConzicConfig
+    from conzic_tpu.engine.sampler import Captioner
+
+    other = tmp_path / "other_clip"
+    other.mkdir()
+    cfg = ConzicConfig()
+    cfg.lm_model = smoke_checkpoint
+    cfg.match_model = str(other)
+    with pytest.raises(ValueError, match="match_model"):
+        Captioner.from_pretrained(cfg)

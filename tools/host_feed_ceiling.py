@@ -107,13 +107,23 @@ def main():
         warm = per_pass[1:] if len(per_pass) > 1 else per_pass
         ceiling = float(np.median(warm))
 
-        # chips one host can feed, per published tier (BASELINE.md ladder)
-        tiers = {
-            "prune3+approx0.90 (82.4 caps/s/chip, over-gate)": 82.4,
-            "fact17pc24 (55.76, under-gate)": 55.76,
-            "fact50pc24 (31.2, under-gate)": 31.2,
-            "full parity (3.25)": 3.25,
-        }
+        # chips one host can feed, per published tier — read from
+        # LADDER.json (the single committed source bench.py also
+        # resolves) so a ladder re-measure can't desynchronize this
+        # derivation; full parity is appended from BASELINE.md's
+        # headline (not a ladder point)
+        tiers = {"full parity (3.25)": 3.25}
+        ladder_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "LADDER.json")
+        try:
+            with open(ladder_path) as f:
+                for pt in json.load(f).get("points", []):
+                    tiers[f"{pt['name']} ({pt['caps_per_s']} caps/s/chip, "
+                          f"session {pt.get('session')})"] = pt["caps_per_s"]
+        except (OSError, ValueError, KeyError) as e:
+            print(f"NOTE: LADDER.json unavailable ({e}); "
+                  "per-tier chips/host omitted", file=sys.stderr)
         doc = {
             "images_per_sec_host_pipeline": round(ceiling, 2),
             "per_pass": [round(v, 2) for v in per_pass],

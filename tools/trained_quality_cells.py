@@ -204,9 +204,18 @@ def main():
         matrix = {"cells": {}}
     trained = matrix.setdefault("trained", {
         "weights": "trained-tiny",
-        "checkpoint": args.checkpoint,
         "cells": {},
     })
+    # header provenance describes the LATEST run (validation/train_meta
+    # are overwritten below from this run's checkpoint doc) — refresh it
+    # so a later run against a different checkpoint can't leave the
+    # header attributing those fields to the first checkpoint. Each CELL
+    # records its own 'checkpoint' (absent = trained_tiny, pre-field).
+    trained["checkpoint"] = args.checkpoint
+    trained["checkpoint_note"] = (
+        "header checkpoint/validation/train_meta describe the most "
+        "recent merge run; per-cell provenance is each cell's "
+        "'checkpoint' field (absent = trained_tiny)")
     trained["validation"] = doc.get("meta", {}).get("validation", {})
     trained["train_meta"] = {
         k: doc.get("meta", {}).get(k)
