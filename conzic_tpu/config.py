@@ -97,6 +97,14 @@ class ConzicConfig:
     # factorized tier's dominant cost (k * layers/num_layers of a full
     # candidate encode), so m ~ 24-32 buys back most of it.
     prune_stage1_precut: int = 0
+    # override for the factorized stage-1 deep-map guard: the no-precut
+    # B=512/clip_row_chunk=800 program (a 200-deep lax.map of 512-row
+    # truncated encodes) reproducibly device-faults UNAVAILABLE on the
+    # axon v5e runtime (BASELINE.md r4), so sampler.run refuses stage-1
+    # encode map depths beyond the measured-safe envelope
+    # (sampler.MAX_STAGE1_MAP_DEPTH) with a pointed error naming the
+    # knobs that shrink the depth. True runs the deep program anyway.
+    allow_deep_stage1: bool = False
     # exact prefix-KV reuse: candidate sentences share their CLIP prefix up
     # to the edited word; chunking the position scan gives each chunk a
     # static prefix length whose K/V are computed once at batch width
@@ -258,6 +266,12 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    help="factorized cascade: proxy pre-cut width m "
                         "(k -> m -> prune_k); 0 scores all k through the "
                         "truncated tower")
+    p.add_argument("--allow_deep_stage1", action="store_true",
+                   default=d.allow_deep_stage1,
+                   help="run factorized stage-1 programs whose candidate-"
+                        "encode lax.map is deeper than the measured-safe "
+                        "envelope (the 200-deep no-precut B=512/rc=800 "
+                        "program reproducibly device-faults; BASELINE.md)")
     p.add_argument("--bridge_mode", type=str, default=d.bridge_mode,
                    choices=["table", "exact"],
                    help="candidate CLIP-id assembly: on-device table "

@@ -122,6 +122,31 @@ def tower_quants(quant: str) -> tuple:
 # depth whose holdout is 0.9166).
 STAGE1_CALIB_FLOOR = 0.91
 
+# Deep-map guard for the factorized stage-1 candidate encode: the
+# no-precut B=512/clip_row_chunk=800 program — a 200-deep lax.map of
+# 512-row truncated encodes — reproducibly device-faults UNAVAILABLE on
+# the axon v5e runtime, while the 40-deep B=256/rc=1600 program runs
+# (BASELINE.md r4, "fact50 (no pre-cut)" row). 64 is a conservative
+# bound between the measured-good and measured-faulting depths; override
+# with --allow_deep_stage1 / cfg.allow_deep_stage1.
+MAX_STAGE1_MAP_DEPTH = 64
+
+
+def stage1_map_depth(spec, batch_rows: int) -> int:
+    """Depth of the lax.map chunking the factorized stage-1 candidate
+    encode — mirrors ``gibbs._encode_candidates``'s chunk arithmetic
+    (rows = batch * stage-1 width, chunked at ``clip_row_chunk``)."""
+    k = spec.candidate_k
+    if spec.stage1_precut and spec.stage1_precut < k:
+        k = spec.stage1_precut
+    rc = spec.clip_row_chunk
+    if not rc or batch_rows * k <= rc:
+        return 1
+    kc = max(1, rc // batch_rows)
+    while k % kc:
+        kc -= 1
+    return k // kc
+
 
 @dataclasses.dataclass
 class GenerationResult:
@@ -1002,6 +1027,24 @@ class Captioner:
                 positions = np.concatenate(
                     [positions, np.repeat(positions[:, :, -1:], pad_rows, axis=2)],
                     axis=2,
+                )
+        if (spec.prune_k is not None
+                and spec.prune_stage1 == "factorized"
+                and not self.cfg.allow_deep_stage1):
+            depth = stage1_map_depth(spec, int(init.shape[0]))
+            if depth > MAX_STAGE1_MAP_DEPTH:
+                raise ValueError(
+                    f"factorized stage-1 would chunk its candidate encode "
+                    f"into a {depth}-deep lax.map of "
+                    f"{int(init.shape[0])}-row truncated passes — beyond "
+                    f"the measured-safe envelope (depth "
+                    f"{MAX_STAGE1_MAP_DEPTH}; the 200-deep B=512/"
+                    f"row_chunk=800 program reproducibly device-faults on "
+                    f"the axon v5e runtime, BASELINE.md r4). Shrink the "
+                    f"depth with --prune_stage1_precut (the dominant "
+                    f"cascade tier anyway), a larger --clip_row_chunk, or "
+                    f"a smaller batch; or pass --allow_deep_stage1 to run "
+                    f"the deep program anyway."
                 )
         from conzic_tpu.engine import host_exact
 

@@ -329,6 +329,57 @@ def test_auto_layer_selection_resolves_and_caches(cap):
         cap._stage1_meta = None
 
 
+def test_stage1_map_depth_mirrors_encode_chunking():
+    """stage1_map_depth mirrors gibbs._encode_candidates' lax.map chunk
+    arithmetic (rows = B * stage-1 width, chunked at clip_row_chunk)."""
+    from types import SimpleNamespace
+
+    from conzic_tpu.engine.sampler import stage1_map_depth
+
+    def spec(k, precut, rc):
+        return SimpleNamespace(candidate_k=k, stage1_precut=precut,
+                               clip_row_chunk=rc)
+
+    # no chunking / everything fits in one chunk -> depth 1
+    assert stage1_map_depth(spec(200, 0, 0), 512) == 1
+    assert stage1_map_depth(spec(200, 0, 200 * 512), 512) == 1
+    # the measured-faulting program: B=512, k=200, rc=800 -> kc=1, 200 deep
+    assert stage1_map_depth(spec(200, 0, 800), 512) == 200
+    # the measured-good program: B=256, k=200, rc=1600 -> kc=6->5, 40 deep
+    assert stage1_map_depth(spec(200, 0, 1600), 256) == 40
+    # pre-cut shrinks the mapped width (the cascade's stage-1 encode
+    # only sees m rows per position)
+    assert stage1_map_depth(spec(200, 24, 800), 512) == 24
+    # kc adjusts down to a divisor of k, exactly like gibbs.py
+    assert stage1_map_depth(spec(16, 0, 8), 3) == 8  # kc: 2 divides 16
+
+
+def test_deep_stage1_guard_raises_and_allow_flag_overrides(cap, monkeypatch):
+    """The device-fault guard (VERDICT r4 item 6): factorized runs whose
+    candidate-encode lax.map exceeds the measured-safe depth raise a
+    pointed ValueError naming the knobs; --allow_deep_stage1 runs them."""
+    from conzic_tpu.engine import sampler
+
+    rng = np.random.RandomState(2)
+    D = cap.clip_model.config.projection_dim
+    embeds = jnp.asarray(rng.randn(3, D).astype(np.float32))
+    kw = dict(prompt="Image of a", max_len=1, top_k=16, temperature=0.1,
+              max_iter=1, alpha=0.02, beta=2.0, order="sequential",
+              prune_k=4)
+    monkeypatch.setattr(sampler, "MAX_STAGE1_MAP_DEPTH", 4)
+    old_rc = cap.cfg.clip_row_chunk
+    cap.cfg.clip_row_chunk = 8  # B=3, k=16 -> kc=2 -> depth 8 > 4
+    try:
+        with pytest.raises(ValueError, match="measured-safe envelope"):
+            cap.run(embeds, rng=np.random.RandomState(7), **kw)
+        cap.cfg.allow_deep_stage1 = True
+        res = cap.run(embeds, rng=np.random.RandomState(7), **kw)
+        assert np.asarray(res.iter_ids[-1]).shape[0] == 3
+    finally:
+        cap.cfg.allow_deep_stage1 = False
+        cap.cfg.clip_row_chunk = old_rc
+
+
 def test_auto_select_band_is_the_warn_floor_and_admits_the_flagship():
     """The auto-select pass band and the runtime warning must share ONE
     floor (STAGE1_CALIB_FLOOR): a 0.92 auto band once silently rejected
