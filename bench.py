@@ -245,8 +245,11 @@ def bench_ours() -> float:
     return BATCH * runs / elapsed
 
 
-def bench_torch_baseline() -> float:
-    """Reference-semantics loop, torch CPU, 1 iteration, extrapolated."""
+def bench_torch_baseline() -> tuple:
+    """Reference-semantics loop, torch CPU, extrapolated; returns
+    (captions_per_sec, basis) where ``basis`` records the extrapolation
+    method and the measured per-position spread — every quoted
+    vs_baseline ratio carries this basis (VERDICT r4 item 8)."""
     import tempfile
 
     import torch
@@ -282,13 +285,16 @@ def bench_torch_baseline() -> float:
     image_embeds = torch.randn(B, clip.config.projection_dim)
     mask = torch.ones(len(vocab))
     # measure a few positions and extrapolate (the loop cost is uniform
-    # per position; a full 150-position run would take many minutes on CPU)
-    n_measured = 4
+    # per position; a full 150-position run would take many minutes on
+    # CPU). Each position is timed separately so the cached basis can
+    # state the observed per-position spread next to the ratio.
+    n_measured = int(os.environ.get("CONZIC_BENCH_TORCH_POSITIONS", "4"))
     positions = list(range(SENTENCE_LEN))[:n_measured]
 
-    t0 = time.time()
+    per_position_s = []
     with torch.no_grad():
         for pos in positions:
+            t0 = time.time()
             ids[:, seed_len + pos] = wp.mask_token_id
             logits = bert(ids).logits[:, seed_len + pos]
             probs = torch.softmax(logits / 0.1, dim=-1) * mask
@@ -309,9 +315,26 @@ def bench_torch_baseline() -> float:
             final = 0.02 * top_probs + 2.0 * clip_probs
             sel = final.argmax(dim=1)
             ids[0, seed_len + pos] = idxs[0, sel[0]]
-    per_position = (time.time() - t0) / n_measured
+            per_position_s.append(time.time() - t0)
+    mean_s = sum(per_position_s) / len(per_position_s)
+    spread_pct = (100.0 * (max(per_position_s) - min(per_position_s))
+                  / mean_s) if len(per_position_s) > 1 else None
+    basis = {
+        "method": (
+            "torch-CPU reference-semantics loop (HF tokenizers, full "
+            "(B,S,V) logits, host decode -> CLIP re-tokenize per "
+            "candidate), per-position cost extrapolated to the full "
+            f"{SENTENCE_LEN * ITERS}-position run"),
+        "batch": B,
+        "positions_measured": len(per_position_s),
+        "positions_total": SENTENCE_LEN * ITERS,
+        "per_position_s": [round(s, 3) for s in per_position_s],
+        "per_position_spread_pct": (
+            round(spread_pct, 1) if spread_pct is not None else None),
+        "vocab": "synthetic full-size WordPiece + test BPE (zero egress)",
+    }
     # captions/sec at SENTENCE_LEN positions x ITERS iterations
-    return 1.0 / (per_position * SENTENCE_LEN * ITERS)
+    return 1.0 / (mean_s * SENTENCE_LEN * ITERS), basis
 
 
 def lookup_quality_cell(matrix, head, clip_len=24):
@@ -474,6 +497,26 @@ def best_quality_bounded_point():
     return best or nearest
 
 
+def describe_baseline_basis(basis, vs):
+    """One sentence stating what the vs_baseline ratio actually is — an
+    EXTRAPOLATION from a few torch-CPU positions at B=1, not a full run
+    (VERDICT r4 item 8: never print the ratio bare)."""
+    if basis:
+        spread = basis.get("per_position_spread_pct")
+        return (
+            f"torch-CPU loop at B={basis.get('batch', 1)}, extrapolated "
+            f"from {basis.get('positions_measured')} of "
+            f"{basis.get('positions_total')} positions"
+            + (f" (per-position spread {spread:g}%)"
+               if spread is not None else "")
+            + "; synthetic vocab; cross-VM drift up to ~12% (BASELINE.md)")
+    if vs is not None:
+        return ("torch-CPU loop extrapolated from 4 positions at B=1 "
+                "(pre-r5 cache: per-position spread unrecorded); "
+                "synthetic vocab; cross-VM drift up to ~12%")
+    return None
+
+
 def main():
     disarm = _arm_watchdog()
     ours = bench_ours()
@@ -485,21 +528,24 @@ def main():
     if PRUNE:
         check_prune_quality()
 
-    baseline = None
+    baseline = basis = None
     if os.path.exists(BASELINE_CACHE):
         try:
             with open(BASELINE_CACHE) as f:
-                baseline = json.load(f)["captions_per_sec"]
+                cached = json.load(f)
+            baseline = cached["captions_per_sec"]
+            basis = cached.get("basis")
         except Exception:
             baseline = None
     if baseline is None and os.environ.get("CONZIC_BENCH_SKIP_TORCH") != "1":
         try:
-            baseline = bench_torch_baseline()
+            baseline, basis = bench_torch_baseline()
             with open(BASELINE_CACHE, "w") as f:
-                json.dump({"captions_per_sec": baseline}, f)
+                json.dump({"captions_per_sec": baseline, "basis": basis}, f)
         except Exception as e:  # torch baseline is best-effort
             print(f"baseline measurement failed: {e}", file=sys.stderr)
     vs = (ours / baseline) if baseline else None
+    vs_basis = describe_baseline_basis(basis, vs)
 
     # alongside the full-parity headline (the driver-consumed "value"),
     # report the published ladder's best under-gate quality-bounded point
@@ -527,6 +573,7 @@ def main():
         "value": round(ours, 4),
         "unit": "captions/sec",
         "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline_basis": vs_basis,
         "quality_bounded": quality_bounded,
     }))
 

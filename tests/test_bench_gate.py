@@ -413,3 +413,19 @@ def test_env_knob_typos_fail_fast(name, val):
     )
     assert r.returncode != 0
     assert name in (r.stderr + r.stdout)
+
+
+def test_vs_baseline_basis_states_the_extrapolation(bench_mod):
+    """The vs_baseline ratio is an extrapolation and must never print
+    bare (VERDICT r4 item 8): a measured basis states positions/spread,
+    a pre-r5 cache without one still gets the method sentence."""
+    basis = {"batch": 1, "positions_measured": 4, "positions_total": 150,
+             "per_position_spread_pct": 7.5}
+    s = bench_mod.describe_baseline_basis(basis, vs=27683.0)
+    assert "extrapolated from 4 of 150 positions" in s
+    assert "spread 7.5%" in s and "drift" in s
+    # pre-r5 cache (no basis recorded) still carries the method
+    s = bench_mod.describe_baseline_basis(None, vs=27683.0)
+    assert "extrapolated" in s and "unrecorded" in s
+    # no baseline at all -> no basis line
+    assert bench_mod.describe_baseline_basis(None, vs=None) is None
