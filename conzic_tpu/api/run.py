@@ -29,24 +29,53 @@ from conzic_tpu.runtime.logging import (
 from conzic_tpu.runtime.seeding import set_seed
 
 
-def iter_image_batches(dir_path: str, batch_size: int, logger):
-    """Yields (pil_images, names) of exactly batch_size (drop_last=True)."""
+def iter_image_batches(dir_path: str, batch_size: int, logger,
+                       row_slice=None, image_size=None):
+    """Yields (pil_images, names) of exactly batch_size (drop_last=True).
+
+    ``row_slice`` (multi-host per-process feeding): every process builds
+    the SAME global batch membership from the sorted directory listing,
+    but only DECODES its contiguous block of rows — ``pil_images`` holds
+    that block while ``names`` stays the full global batch. Batch
+    membership must be identical across processes, so unreadable images
+    cannot be skipped there: they decode to a black placeholder
+    (``image_size`` square) and are logged instead."""
     from PIL import Image
 
     names = sorted(os.listdir(dir_path))  # deterministic batching
-    batch_imgs, batch_names = [], []
+    if row_slice is None:
+        # single-process: the reference's skip-on-error handling
+        batch_imgs, batch_names = [], []
+        for name in names:
+            try:
+                img = Image.open(os.path.join(dir_path, name)).convert("RGB")
+            except Exception as e:
+                logger.info(f"skipping unreadable image {name}: {e}")
+                continue
+            batch_imgs.append(img)
+            batch_names.append(name)
+            if len(batch_imgs) == batch_size:
+                yield batch_imgs, batch_names
+                batch_imgs, batch_names = [], []
+        # trailing partial batch dropped (reference run.py:178 drop_last=True)
+        return
+    batch_names = []
     for name in names:
-        try:
-            img = Image.open(os.path.join(dir_path, name)).convert("RGB")
-        except Exception as e:
-            logger.info(f"skipping unreadable image {name}: {e}")
-            continue
-        batch_imgs.append(img)
         batch_names.append(name)
-        if len(batch_imgs) == batch_size:
-            yield batch_imgs, batch_names
-            batch_imgs, batch_names = [], []
-    # trailing partial batch dropped (reference run.py:178 drop_last=True)
+        if len(batch_names) == batch_size:
+            imgs = []
+            for n in batch_names[row_slice]:
+                try:
+                    imgs.append(
+                        Image.open(os.path.join(dir_path, n)).convert("RGB"))
+                except Exception as e:
+                    # multi-host membership is global: substitute, don't skip
+                    logger.info(f"unreadable image {n}: {e} — black "
+                                f"placeholder keeps the global batch aligned")
+                    side = image_size or 224
+                    imgs.append(Image.new("RGB", (side, side)))
+            yield imgs, batch_names
+            batch_names = []
 
 
 def accumulate(all_results, img_names, gen_texts):
@@ -92,9 +121,31 @@ def main(argv=None):
                         choices=["full", "tiny"], default=False,
                         help="deterministic random-init models instead of "
                              "checkpoints; 'tiny' uses small test towers")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host scale-out: every process of the "
+                             "job runs this CLI; jax.distributed is "
+                             "initialized, the mesh spans GLOBAL devices "
+                             "(--mesh_data_axis 0 = all), each process "
+                             "decodes its contiguous slice of every "
+                             "global batch, and process 0 writes the "
+                             "artifacts (CONZIC_MULTIHOST=1 also opts in)")
+    parser.add_argument("--coordinator_address", default=None,
+                        help="host:port of process 0 (omit on cluster "
+                             "environments JAX auto-detects)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.set_defaults(batch_size=2, caption_img_path="./examples/")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)  # --device cpu handled there (functional)
+
+    from conzic_tpu.parallel import distributed
+
+    multihost = args.multihost or distributed.env_requested()
+    if multihost:
+        # before any backend-initializing JAX call (config_from_args only
+        # sets jax.config flags)
+        distributed.initialize(args.coordinator_address,
+                               args.num_processes, args.process_id)
     rng = set_seed(cfg.seed)
 
     run_type = run_type_label(cfg)
@@ -110,9 +161,24 @@ def main(argv=None):
 
     from conzic_tpu.api.demo import build_mesh
 
+    if multihost and cfg.mesh_data_axis == 1:
+        # multi-host without a mesh cannot express the global batch;
+        # default to all global devices rather than silently running
+        # N disconnected single-device copies
+        cfg.mesh_data_axis = 0
     captioner = build_captioner(
         cfg, random_models=args.random_models, mesh=build_mesh(cfg)
     )
+    row_slice = None
+    if multihost:
+        if cfg.batch_size % distributed.process_count():
+            import sys
+
+            sys.exit(f"--batch_size {cfg.batch_size} must be a multiple "
+                     f"of the process count "
+                     f"({distributed.process_count()}) for per-process "
+                     f"feeding")
+        row_slice = distributed.local_slice(cfg.batch_size)
 
     from conzic_tpu.runtime.image import preprocess_batch_pil
     from conzic_tpu.runtime.prefetch import prefetch_map
@@ -135,11 +201,13 @@ def main(argv=None):
         logger.info(f"Sample {sample_id + 1}: ")
         for batch_idx, (pixels, names) in enumerate(prefetch_map(
             host_pipeline,
-            iter_image_batches(cfg.caption_img_path, cfg.batch_size, logger),
+            iter_image_batches(cfg.caption_img_path, cfg.batch_size, logger,
+                               row_slice=row_slice, image_size=image_size),
             workers=args.prefetch_workers,
         )):
             logger.info(f"The {batch_idx + 1}-th batch:")
-            image_embeds = captioner.encode_images(pixels)
+            image_embeds = captioner.encode_images(
+                pixels, local=row_slice is not None)
             if cfg.run_type == "caption":
                 gen_texts, _ = generate_caption(
                     names, captioner, image_embeds, logger,
@@ -162,8 +230,11 @@ def main(argv=None):
                     pos_type=cfg.pos_type, generate_order=cfg.order, rng=rng,
                 )
             all_results = accumulate(all_results, names, gen_texts)
-        save_dir = save_results(cfg, run_type, all_results, sample_id)
-        logger.info(f"saved results to {save_dir}")
+        if distributed.is_primary():
+            # every process holds the FULL results (gather_to_host in
+            # the engine); exactly one writes the artifact tree
+            save_dir = save_results(cfg, run_type, all_results, sample_id)
+            logger.info(f"saved results to {save_dir}")
 
 
 if __name__ == "__main__":

@@ -407,10 +407,17 @@ class Captioner:
         return cls(bert, bert_params, clip, clip_params, wp, bpe, config, mesh)
 
     # ------------------------------------------------------------------
-    def encode_images(self, images) -> jax.Array:
+    def encode_images(self, images, local: bool = False) -> jax.Array:
         """PIL images (or preprocessed NHWC array) -> (B, D) embeddings.
         Image is encoded ONCE per generation (reference
-        gen_utils.py:58 / clip/clip.py:48-62)."""
+        gen_utils.py:58 / clip/clip.py:48-62).
+
+        ``local=True``: multi-host per-process feeding — ``images`` are
+        THIS process's contiguous block of the global batch
+        (parallel.distributed.local_slice); the global array is
+        assembled across processes and the returned embeddings are the
+        GLOBAL (B_global, D) batch. Single-process it is the identity
+        path."""
         if isinstance(images, (list, tuple)):
             pixels = preprocess_batch_pil(
                 images, self.clip_model.config.vision.image_size
@@ -419,6 +426,22 @@ class Captioner:
             pixels = np.asarray(images, np.float32)
             if pixels.ndim == 3:
                 pixels = pixels[None]
+        if local and jax.process_count() > 1:
+            from conzic_tpu.parallel import distributed
+
+            if self.mesh is None:
+                raise ValueError(
+                    "encode_images(local=True) on a multi-host run needs "
+                    "a mesh (--mesh_data_axis)")
+            global_b = pixels.shape[0] * jax.process_count()
+            if mesh_lib.data_axis_pad(self.mesh, global_b):
+                raise ValueError(
+                    f"multi-host local feeding requires the global batch "
+                    f"({global_b}) to divide the mesh's data axis — pick "
+                    f"a --batch_size multiple of the mesh size")
+            pixels = distributed.put_local_shard(
+                pixels, mesh_lib.batch_sharding(self.mesh), global_b)
+            return self._encode_image_jit(self.params["clip"], pixels)
         pixels = jnp.asarray(pixels)
         B = pixels.shape[0]
         pad = mesh_lib.data_axis_pad(self.mesh, B)
@@ -1099,12 +1122,16 @@ class Captioner:
     def _package_result(self, iter_ids, iter_cos, iter_ctl, best_ids,
                         best_cos, B, elapsed) -> GenerationResult:
         """Decode snapshots and build the reference-contract result (rows
-        beyond B are mesh padding and sliced off)."""
-        iter_ids = np.asarray(iter_ids)[:, :B]
-        iter_cos = np.asarray(iter_cos)[:, :B]
-        iter_ctl = np.asarray(iter_ctl)[:, :B]
-        best_ids = np.asarray(best_ids)[:B]
-        best_cos = np.asarray(best_cos)[:B]
+        beyond B are mesh padding and sliced off). On a multi-host run
+        the outputs are not fully addressable here: gather them so every
+        process decodes the full result (single-process: plain asarray)."""
+        from conzic_tpu.parallel.distributed import gather_to_host
+
+        iter_ids = gather_to_host(iter_ids)[:, :B]
+        iter_cos = gather_to_host(iter_cos)[:, :B]
+        iter_ctl = gather_to_host(iter_ctl)[:, :B]
+        best_ids = gather_to_host(best_ids)[:B]
+        best_cos = gather_to_host(best_cos)[:B]
 
         gen_texts_list: List[List[str]] = []
         clip_score_sequence: List[List[float]] = []

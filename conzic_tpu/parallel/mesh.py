@@ -77,10 +77,24 @@ def param_sharding_rules(mesh: Mesh, params):
     return _jax.tree_util.tree_map_with_path(rule, params)
 
 
+def _put(tree, shardings):
+    """device_put, or the cross-process global-array assembly when this
+    is one process of a multi-host run (host data identical per process
+    — parallel.distributed.put_global's contract)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    from conzic_tpu.parallel.distributed import put_global
+
+    if isinstance(shardings, NamedSharding):
+        return jax.tree_util.tree_map(
+            lambda leaf: put_global(leaf, shardings), tree)
+    return jax.tree_util.tree_map(put_global, tree, shardings)
+
+
 def shard_params(mesh: Optional[Mesh], params):
     if mesh is None:
         return params
-    return jax.device_put(params, param_sharding_rules(mesh, params))
+    return _put(params, param_sharding_rules(mesh, params))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -96,13 +110,13 @@ def shard_batch(mesh: Optional[Mesh], tree):
     """Shard every array's leading axis over the mesh (no-op without mesh)."""
     if mesh is None:
         return tree
-    return jax.device_put(tree, batch_sharding(mesh))
+    return _put(tree, batch_sharding(mesh))
 
 
 def replicate(mesh: Optional[Mesh], tree):
     if mesh is None:
         return tree
-    return jax.device_put(tree, replicated(mesh))
+    return _put(tree, replicated(mesh))
 
 
 def data_axis_pad(mesh: Optional[Mesh], batch: int) -> int:
