@@ -67,12 +67,28 @@ STRUCTURE_WORDS = (
     "there", "is", "picture", "photo", "shows", "with",
 )
 
+# The RICH world's subjective modifiers: ungrounded (random per caption,
+# CLIP cannot learn them from pixels) valence-bearing adjectives whose
+# job is to make SENTIMENT CONTROL measurable on semantic weights — the
+# trained LM proposes them at ADJ slots, the in-loop valence table
+# scores them, and eval/sentiment_eval.py detects the shift. Every word
+# is (a) in text.lexicons' curated valence table and (b) rule-tagged ADJ
+# (so POS control/eval see them as adjectives).
+VALENCE_ADJ = {
+    "positive": ("lovely", "pretty", "beautiful", "gorgeous",
+                 "delightful", "cute"),
+    "negative": ("dreadful", "awful", "dirty", "dark", "cold"),
+}
 
-def caption_words() -> List[str]:
+
+def caption_words(rich: bool = False) -> List[str]:
     """Every word the caption templates can emit (deduped, stable order)."""
     out: List[str] = []
-    for group in (STRUCTURE_WORDS, SIZES, tuple(COLORS), tuple(BACKGROUNDS),
-                  SHAPES, POSITIONS):
+    groups = [STRUCTURE_WORDS, SIZES, tuple(COLORS), tuple(BACKGROUNDS),
+              SHAPES, POSITIONS]
+    if rich:
+        groups.append(VALENCE_ADJ["positive"] + VALENCE_ADJ["negative"])
+    for group in groups:
         for w in group:
             if w not in out:
                 out.append(w)
@@ -214,6 +230,49 @@ def caption_scene(scene: Scene, rng: np.random.RandomState) -> str:
     return templates[rng.randint(len(templates))]
 
 
+def _valence_phrase(rng: np.random.RandomState, p: float = 0.5) -> str:
+    """One ungrounded valence adjective (or '') — see VALENCE_ADJ."""
+    if rng.rand() >= p:
+        return ""
+    polarity = "positive" if rng.rand() < 0.5 else "negative"
+    words = VALENCE_ADJ[polarity]
+    return words[rng.randint(len(words))] + " "
+
+
+def caption_scene_rich(scene: Scene, rng: np.random.RandomState) -> str:
+    """RICH-world caption: 14-21 words — full object descriptions with
+    optional ungrounded valence adjectives (the mid-size world's
+    sentiment-efficacy channel, VERDICT r4 items 1+3)."""
+    o = scene.objects[0]
+    v1 = _valence_phrase(rng)
+    art1 = _article(v1.strip() or o.size)
+    if len(scene.objects) == 1:
+        templates = [
+            f"image of {art1} {v1}{o.size} {o.color} {o.shape} at the "
+            f"{o.position} on a {scene.background} background .",
+            f"the picture shows {art1} {v1}{o.size} {o.color} {o.shape} "
+            f"at the {o.position} on a {scene.background} background .",
+            f"there is {art1} {v1}{o.size} {o.color} {o.shape} at the "
+            f"{o.position} on a {scene.background} background .",
+        ]
+    else:
+        b = scene.objects[1]
+        v2 = _valence_phrase(rng)
+        art2 = _article(v2.strip() or b.size)
+        templates = [
+            f"image of {art1} {v1}{o.size} {o.color} {o.shape} at the "
+            f"{o.position} and {art2} {v2}{b.size} {b.color} {b.shape} "
+            f"at the {b.position} .",
+            f"{art1} {v1}{o.size} {o.color} {o.shape} at the {o.position} "
+            f"and {art2} {v2}{b.size} {b.color} {b.shape} on a "
+            f"{scene.background} background .",
+            f"the picture shows {art1} {v1}{o.size} {o.color} {o.shape} "
+            f"with {art2} {v2}{b.size} {b.color} {b.shape} on a "
+            f"{scene.background} background .",
+        ]
+    return templates[rng.randint(len(templates))]
+
+
 def scene_attribute_words(scene: Scene) -> List[str]:
     """The scene's ground-truth content words (for attribute-recall
     metrics: how many does a generated caption mention?)."""
@@ -226,7 +285,8 @@ def scene_attribute_words(scene: Scene) -> List[str]:
 # --- vocabularies -------------------------------------------------------------
 
 
-def make_tiny_wordpiece_vocab(vocab_size: int = 4096) -> Dict[str, int]:
+def make_tiny_wordpiece_vocab(vocab_size: int = 4096,
+                              rich: bool = False) -> Dict[str, int]:
     """WordPiece vocab: specials + punctuation + digits + the caption
     language + deterministic pronounceable filler words (distractor
     candidates for the top-k, mirroring the real vocab's rare-word tail).
@@ -235,7 +295,7 @@ def make_tiny_wordpiece_vocab(vocab_size: int = 4096) -> Dict[str, int]:
     tokens += list(".,!?;:'\"-()")
     tokens += [str(d) for d in range(10)]
     seen = set(tokens)
-    for w in caption_words():
+    for w in caption_words(rich=rich):
         if w not in seen:
             tokens.append(w)
             seen.add(w)
@@ -341,19 +401,26 @@ def make_word_bpe_files(words: Iterable[str], tmpdir: str,
 
 
 def build_dataset(n: int, seed: int, image_size: int = 64,
-                  two_object_p: float = 0.35):
+                  two_object_p: float = 0.35, rich: bool = False):
     """Render ``n`` scenes deterministically.
 
     Returns (images uint8 (n, S, S, 3), captions list[str], scenes).
     uint8 keeps 20k 64px scenes ~250 MB; normalize per batch on device.
+
+    ``rich=True``: the mid-size world (VERDICT r4 item 3) — mostly
+    two-object scenes with 14-21-word captions carrying optional
+    valence adjectives (caption_scene_rich).
     """
     rng = np.random.RandomState(seed)
+    if rich:
+        two_object_p = max(two_object_p, 0.75)
     images = np.zeros((n, image_size, image_size, 3), np.uint8)
     captions: List[str] = []
     scenes: List[Scene] = []
     for i in range(n):
         scene = sample_scene(rng, two_object_p)
         images[i] = np.asarray(render_scene(scene, image_size), np.uint8)
-        captions.append(caption_scene(scene, rng))
+        captions.append(caption_scene_rich(scene, rng) if rich
+                        else caption_scene(scene, rng))
         scenes.append(scene)
     return images, captions, scenes

@@ -44,33 +44,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.validate_pruning import session_tag  # noqa: E402
 
 
-def small_bert_config(vocab_size: int):
+def small_bert_config(vocab_size: int, hidden: int = 128, heads: int = 4,
+                      intermediate: int = 512, layers: int = 4):
     from conzic_tpu.models.configs import BertConfig
 
     return BertConfig(
-        vocab_size=vocab_size, hidden_size=128, num_layers=4, num_heads=4,
-        intermediate_size=512, max_position_embeddings=64,
+        vocab_size=vocab_size, hidden_size=hidden, num_layers=layers,
+        num_heads=heads, intermediate_size=intermediate,
+        max_position_embeddings=64,
     )
 
 
 def small_clip_config(text_vocab_size: int, eos_token_id: int,
-                      text_layers: int = 4):
+                      text_layers: int = 4, hidden: int = 128,
+                      heads: int = 4, intermediate: int = 512,
+                      projection_dim: int = 64):
     from conzic_tpu.models.configs import (
         CLIPConfig, CLIPTextConfig, CLIPVisionConfig,
     )
 
     return CLIPConfig(
         text=CLIPTextConfig(
-            vocab_size=text_vocab_size, hidden_size=128,
+            vocab_size=text_vocab_size, hidden_size=hidden,
             num_layers=text_layers,
-            num_heads=4, intermediate_size=512, max_position_embeddings=77,
+            num_heads=heads, intermediate_size=intermediate,
+            max_position_embeddings=77,
             eos_token_id=eos_token_id,
         ),
         vision=CLIPVisionConfig(
-            hidden_size=128, num_layers=4, num_heads=4, intermediate_size=512,
+            hidden_size=hidden, num_layers=4, num_heads=heads,
+            intermediate_size=intermediate,
             image_size=64, patch_size=8,
         ),
-        projection_dim=64,
+        projection_dim=projection_dim,
         # training init: temperature 0.07 (ln(1/0.07) ~ 2.659); the
         # fitted value is saved with the params. Clamped at ln(100) in
         # the loss, as standard for CLIP training.
@@ -96,6 +102,19 @@ def main():
                    help="CLIP text-tower depth — deeper towers probe the "
                         "factorized stage-1's depth-fraction scaling "
                         "(fact<pct> transfer evidence)")
+    p.add_argument("--world", choices=["tiny", "rich"], default="tiny",
+                   help="rich = the mid-size world (VERDICT r4 item 3): "
+                        "14-21-word two-object captions with ungrounded "
+                        "valence adjectives (sentiment-efficacy channel)")
+    p.add_argument("--hidden", type=int, default=128,
+                   help="model width (both towers; VERDICT item 3 probes "
+                        "the gate's width transfer at >=256)")
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--intermediate", type=int, default=0,
+                   help="MLP width (0 = 4*hidden)")
+    p.add_argument("--bert_layers", type=int, default=4)
+    p.add_argument("--projection_dim", type=int, default=0,
+                   help="CLIP projection dim (0 = hidden // 2)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
@@ -132,7 +151,8 @@ def main():
     rng = np.random.RandomState(args.seed)
 
     # --- world + tokenizers -------------------------------------------------
-    wp_vocab = syn.make_tiny_wordpiece_vocab(args.vocab_size)
+    rich = args.world == "rich"
+    wp_vocab = syn.make_tiny_wordpiece_vocab(args.vocab_size, rich=rich)
     staging = tempfile.mkdtemp(prefix="conzic_tiny_bpe_")
     bpe_vocab_file, bpe_merges_file = syn.make_word_bpe_files(
         list(wp_vocab), staging)
@@ -146,7 +166,7 @@ def main():
     print(f"[{time.time()-t0:6.1f}s] rendering {args.train_n}+{args.val_n} "
           f"scenes ...", flush=True)
     images, captions, scenes = syn.build_dataset(
-        args.train_n + args.val_n, seed=args.seed + 1)
+        args.train_n + args.val_n, seed=args.seed + 1, rich=rich)
     val_sl = slice(args.train_n, None)
 
     # tokenize everything once (host)
@@ -162,9 +182,15 @@ def main():
         wp_mask[i, : len(r)] = 1
 
     # --- models ---------------------------------------------------------------
-    bert_cfg = small_bert_config(wp.vocab_size)
-    clip_cfg = small_clip_config(bpe.vocab_size, bpe.eos_token_id,
-                                 text_layers=args.clip_text_layers)
+    inter = args.intermediate or 4 * args.hidden
+    proj = args.projection_dim or args.hidden // 2
+    bert_cfg = small_bert_config(
+        wp.vocab_size, hidden=args.hidden, heads=args.heads,
+        intermediate=inter, layers=args.bert_layers)
+    clip_cfg = small_clip_config(
+        bpe.vocab_size, bpe.eos_token_id,
+        text_layers=args.clip_text_layers, hidden=args.hidden,
+        heads=args.heads, intermediate=inter, projection_dim=proj)
     bert = BertForMaskedLM(bert_cfg, dtype=jnp.bfloat16)
     clip = CLIPModel(clip_cfg, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(args.seed)
