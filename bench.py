@@ -59,8 +59,14 @@ QUANT = os.environ.get("CONZIC_BENCH_QUANT", "none")
 # "factorized" (truncated-tower scorer; CONZIC_BENCH_STAGE1_LAYERS deep)
 STAGE1 = os.environ.get("CONZIC_BENCH_STAGE1", "proxy")
 STAGE1_LAYERS = int(os.environ.get("CONZIC_BENCH_STAGE1_LAYERS", "2"))
-# factorized cascade: proxy pre-cut width m (k -> m -> prune_k); 0 = off
+# factorized cascade: pre-cut width m (k -> m -> prune_k); 0 = off
 STAGE1_PRECUT = int(os.environ.get("CONZIC_BENCH_STAGE1_PRECUT", "0"))
+# pre-cut scorer: "proxy" (bag) or "tower" (shallower truncated tower at
+# CONZIC_BENCH_STAGE1_PRECUT_LAYERS — the two-stage cascade, r5)
+STAGE1_PRECUT_MODE = os.environ.get("CONZIC_BENCH_STAGE1_PRECUT_MODE",
+                                    "proxy")
+STAGE1_PRECUT_LAYERS = int(
+    os.environ.get("CONZIC_BENCH_STAGE1_PRECUT_LAYERS", "1"))
 # controlled generation: "" (free captioning, the default headline) |
 # "sentiment" | "pos" — the reference's control feature, benched with
 # gamma=5.0 and the default table energies
@@ -86,6 +92,8 @@ for _name, _val, _allowed in (
     ("CONZIC_BENCH_MASK_IMPL", MASK_IMPL, ("gather", "compare")),
     ("CONZIC_BENCH_QUANT", QUANT, ("none", "int8", "int8_all")),
     ("CONZIC_BENCH_STAGE1", STAGE1, ("proxy", "factorized")),
+    ("CONZIC_BENCH_STAGE1_PRECUT_MODE", STAGE1_PRECUT_MODE,
+     ("proxy", "tower")),
     ("CONZIC_BENCH_CTL", CTL, (None, "sentiment", "pos")),
     ("CONZIC_BENCH_ATTN", ATTN, ("xla", "pallas", "pallas_out",
                                  "pallas_block", "twoblock", "xla_bhsd")),
@@ -175,6 +183,8 @@ def build_captioner():
         cfg.prune_stage1 = STAGE1
         cfg.prune_stage1_layers = STAGE1_LAYERS
         cfg.prune_stage1_precut = STAGE1_PRECUT
+        cfg.prune_stage1_precut_mode = STAGE1_PRECUT_MODE
+        cfg.prune_stage1_precut_layers = STAGE1_PRECUT_LAYERS
     if SMALL_MODELS:
         cap = Captioner.from_random(
             config=cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32
@@ -192,6 +202,10 @@ def build_captioner():
     # text tower (cell_key grammar): record the built model's value
     EFFECTIVE["stage1_pct"] = round(
         100 * STAGE1_LAYERS / cap.clip_model.config.text.num_layers)
+    EFFECTIVE["precut_tower_pct"] = (
+        round(100 * STAGE1_PRECUT_LAYERS
+              / cap.clip_model.config.text.num_layers)
+        if STAGE1_PRECUT and STAGE1_PRECUT_MODE == "tower" else 0)
     return cap
 
 
@@ -407,6 +421,12 @@ def check_prune_quality():
         suffix = f"+fact{pct:g}"
         if STAGE1_PRECUT:
             suffix += f"pc{STAGE1_PRECUT}"
+            pc_pct = EFFECTIVE.get(
+                "precut_tower_pct",
+                round(100 * STAGE1_PRECUT_LAYERS / 12)
+                if STAGE1_PRECUT_MODE == "tower" else 0)
+            if pc_pct:
+                suffix += f"t{pc_pct:g}"
     else:
         suffix = ""
     suffix += f"+approx{TOPK_RECALL:g}" if TOPK_MODE == "approx" else ""
@@ -562,7 +582,10 @@ def main():
                   + (f" clip_len={CLIP_LEN}" if CLIP_LEN != 24 else "")
                   + (f" prune_k={PRUNE}" if PRUNE else "")
                   + ((f" stage1=fact{EFFECTIVE.get('stage1_pct')}"
-                      + (f"pc{STAGE1_PRECUT}" if STAGE1_PRECUT else ""))
+                      + ((f"pc{STAGE1_PRECUT}"
+                          + (f"t{EFFECTIVE.get('precut_tower_pct')}"
+                             if EFFECTIVE.get("precut_tower_pct") else ""))
+                         if STAGE1_PRECUT else ""))
                      if PRUNE and STAGE1 == "factorized" else "")
                   + (" final_exact" if PRUNE and PRUNE_FINAL_EXACT else "")
                   + (f" topk=approx{TOPK_RECALL:g}"

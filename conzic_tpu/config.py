@@ -97,6 +97,14 @@ class ConzicConfig:
     # factorized tier's dominant cost (k * layers/num_layers of a full
     # candidate encode), so m ~ 24-32 buys back most of it.
     prune_stage1_precut: int = 0
+    # what the pre-cut stage is: "proxy" (the bag — near-free, but its
+    # recall collapses on long contexts: the r4 len77 cascade cells fail
+    # at +0.0514/+0.0422 while no-precut passes) or "tower" — a SHALLOWER
+    # truncated tower + its own calibrated projection scores all k at
+    # ~k*precut_layers/num_layers encode cost (the two-stage factorized
+    # cascade, the len77 tier's lever; VERDICT r4 item 2).
+    prune_stage1_precut_mode: str = "proxy"
+    prune_stage1_precut_layers: int = 1
     # override for the factorized stage-1 deep-map guard: the no-precut
     # B=512/clip_row_chunk=800 program (a 200-deep lax.map of 512-row
     # truncated encodes) reproducibly device-faults UNAVAILABLE on the
@@ -187,6 +195,8 @@ class ConzicConfig:
         # calibration time (smallest depth clearing the measured
         # held-out-cosine pass band; sampler._ensure_stage1_calibration)
         assert self.prune_stage1_precut >= 0
+        assert self.prune_stage1_precut_mode in ("proxy", "tower")
+        assert self.prune_stage1_precut_layers >= 1
         if self.prune_stage1 == "factorized":
             assert self.prune_k > 0, "--prune_stage1 factorized requires --prune_k"
             assert not self.scan_layers, (
@@ -196,6 +206,13 @@ class ConzicConfig:
                 assert self.prune_stage1_precut > self.prune_k, (
                     "--prune_stage1_precut must exceed --prune_k "
                     "(it is the intermediate cascade width)")
+                if (self.prune_stage1_precut_mode == "tower"
+                        and self.prune_stage1_layers):
+                    assert (self.prune_stage1_precut_layers
+                            < self.prune_stage1_layers), (
+                        "--prune_stage1_precut_layers must be SHALLOWER "
+                        "than --prune_stage1_layers (the pre-cut exists "
+                        "to be cheaper than the stage it feeds)")
         else:
             assert not self.prune_stage1_precut, (
                 "--prune_stage1_precut only applies to the factorized "
@@ -266,6 +283,17 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    help="factorized cascade: proxy pre-cut width m "
                         "(k -> m -> prune_k); 0 scores all k through the "
                         "truncated tower")
+    p.add_argument("--prune_stage1_precut_mode", type=str,
+                   default=d.prune_stage1_precut_mode,
+                   choices=["proxy", "tower"],
+                   help="pre-cut scorer: bag proxy (near-free; collapses "
+                        "at long contexts) or a shallower truncated tower "
+                        "(the two-stage factorized cascade — the len77 "
+                        "lever)")
+    p.add_argument("--prune_stage1_precut_layers", type=int,
+                   default=d.prune_stage1_precut_layers,
+                   help="tower pre-cut depth (must be < "
+                        "--prune_stage1_layers)")
     p.add_argument("--allow_deep_stage1", action="store_true",
                    default=d.allow_deep_stage1,
                    help="run factorized stage-1 programs whose candidate-"

@@ -91,11 +91,19 @@ class EngineSpec:
     # candidate-encode cost.
     prune_stage1: str = "proxy"
     stage1_layers: int = 2
-    # factorized cascade pre-cut: m > 0 = the bag proxy cuts k -> m before
-    # the truncated-tower encode (which then scores only m rows); the
+    # factorized cascade pre-cut: m > 0 = stage 0 cuts k -> m before the
+    # truncated-tower encode (which then scores only m rows); the
     # truncated encode dominates the factorized tier's cost, so this is
     # its main throughput lever
     stage1_precut: int = 0
+    # what stage 0 is: "proxy" (bag-of-embeddings — near-free but its
+    # recall collapses at long contexts, BASELINE.md r4 len77 rows) or
+    # "tower" (a SHALLOWER truncated tower + its own calibrated
+    # projection tables["stage1_wcal_pc"] scores all k at
+    # ~k*precut_layers/num_layers encode cost — the len77-capable
+    # two-stage factorized cascade, VERDICT r4 item 2)
+    stage1_precut_mode: str = "proxy"
+    stage1_precut_layers: int = 1
     # exact prefix-KV reuse (see CLIPModel.encode_text_shared_prefix):
     # ((prefix_len, n_steps), ...) chunking of the per-iteration position
     # scan — each chunk's steps share a static lower bound on the candidates'
@@ -384,36 +392,65 @@ def _position_update(
             # survivors REUSE the assembled rows (gathered, not re-built).
             # ~10x lower selection regret than the bag proxy on semantic
             # weights (FACTORIZED_FIDELITY.json / BASELINE.md r4)
+            def s1_scores_of(ids_a, mask_a, pl_, layers, wcal):
+                """(B,k',L) assembled rows -> (B,k') truncated-tower
+                cosines at ``layers`` depth under projection ``wcal``."""
+                cfg_ = dataclasses.replace(
+                    clip.config.text, num_layers=layers)
+                tower_ = CLIPTextTower(
+                    cfg_, dtype=clip.dtype, attn_impl=clip.attn_impl,
+                    quant=clip.quant)
+                params_ = truncated_text_params(params["clip"], layers)
+                emb = _encode_candidates(
+                    spec, clip, params, ids_a, mask_a, pl_, prefix_kvs,
+                    s1=(tower_, params_, wcal),
+                ).reshape(B, ids_a.shape[1], -1)
+                emb = emb / (
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
+                img_n = image_embeds.astype(jnp.float32)
+                img_n = img_n / jnp.linalg.norm(
+                    img_n, axis=-1, keepdims=True)
+                return jnp.einsum("bkd,bd->bk", emb, img_n)
+
+            assembled = None
             if spec.stage1_precut and spec.stage1_precut < k:
-                # cascade: the bag proxy cuts k -> m so the truncated
-                # tower (the dominant cost here) encodes only m rows
-                proxy0 = energies.prune_proxy_scores(
-                    tables["word_embeds"], base_ids, col, idxs,
-                    image_embeds, spec.seq_len,
-                    exclude_slot=spec.order_kind == "parallel",
-                )
-                _, keep0 = energies.dp_local_top_k(
-                    proxy0, spec.stage1_precut, mesh=mesh)
+                if spec.stage1_precut_mode == "tower":
+                    # two-stage factorized cascade: a SHALLOWER tower
+                    # scores all k (the bag proxy's recall collapses at
+                    # long contexts — BASELINE.md r4 len77), and the
+                    # survivors' assembled rows are REUSED downstream
+                    ids_all, mask_all, pl = _assemble(idxs)
+                    pc_scores = s1_scores_of(
+                        ids_all, mask_all, pl, spec.stage1_precut_layers,
+                        tables["stage1_wcal_pc"])
+                    _, keep0 = energies.dp_local_top_k(
+                        pc_scores, spec.stage1_precut, mesh=mesh)
+                    assembled = (
+                        jnp.take_along_axis(
+                            ids_all, keep0[:, :, None], axis=1),
+                        jnp.take_along_axis(
+                            mask_all, keep0[:, :, None], axis=1),
+                        pl,
+                    )
+                else:
+                    # cascade: the bag proxy cuts k -> m so the truncated
+                    # tower (the dominant cost here) encodes only m rows
+                    proxy0 = energies.prune_proxy_scores(
+                        tables["word_embeds"], base_ids, col, idxs,
+                        image_embeds, spec.seq_len,
+                        exclude_slot=spec.order_kind == "parallel",
+                    )
+                    _, keep0 = energies.dp_local_top_k(
+                        proxy0, spec.stage1_precut, mesh=mesh)
                 idxs = jnp.take_along_axis(idxs, keep0, axis=1)
                 top_probs = jnp.take_along_axis(top_probs, keep0, axis=1)
                 k = spec.stage1_precut
-            ids_all, mask_all, pl = _assemble(idxs)
-            s1_cfg = dataclasses.replace(
-                clip.config.text, num_layers=spec.stage1_layers)
-            s1_tower = CLIPTextTower(
-                s1_cfg, dtype=clip.dtype, attn_impl=clip.attn_impl,
-                quant=clip.quant)
-            s1_params = truncated_text_params(
-                params["clip"], spec.stage1_layers)
-            s1_emb = _encode_candidates(
-                spec, clip, params, ids_all, mask_all, pl, prefix_kvs,
-                s1=(s1_tower, s1_params, tables["stage1_wcal"]),
-            ).reshape(B, k, -1)
-            s1_emb = s1_emb / (
-                jnp.linalg.norm(s1_emb, axis=-1, keepdims=True) + 1e-6)
-            img_n = image_embeds.astype(jnp.float32)
-            img_n = img_n / jnp.linalg.norm(img_n, axis=-1, keepdims=True)
-            s1_scores = jnp.einsum("bkd,bd->bk", s1_emb, img_n)
+            if assembled is None:
+                assembled = _assemble(idxs)
+            ids_all, mask_all, pl = assembled
+            s1_scores = s1_scores_of(
+                ids_all, mask_all, pl, spec.stage1_layers,
+                tables["stage1_wcal"])
             _, keep = energies.dp_local_top_k(
                 s1_scores, spec.prune_k, mesh=mesh)  # (B, k')
             preassembled = (

@@ -181,14 +181,19 @@ class _HostEngine:
         # callback-free backends (VERDICT r3 weak #6)
         self.prune_keep = None
         self.s1_score = None
+        self.s1_pc_score = None
         if spec.prune_k is not None and spec.prune_k < k:
             # the proxy cut: to prune_k directly (proxy stage-1) or to the
-            # cascade's intermediate width m (factorized precut)
-            proxy_width = (
-                spec.stage1_precut
-                if spec.prune_stage1 == "factorized"
-                else spec.prune_k
-            )
+            # cascade's intermediate width m (factorized PROXY precut);
+            # the TOWER precut replaces the proxy with a shallow
+            # truncated-tower rank over the assembled rows (below)
+            if spec.prune_stage1 == "factorized":
+                proxy_width = (
+                    0 if spec.stage1_precut_mode == "tower"
+                    else spec.stage1_precut
+                )
+            else:
+                proxy_width = spec.prune_k
             if proxy_width and proxy_width < k:
                 word_embeds = tables["word_embeds"]
 
@@ -211,34 +216,45 @@ class _HostEngine:
                     truncated_text_params,
                 )
 
-                tcfg = _dc.replace(
-                    clip.config.text, num_layers=spec.stage1_layers)
-                tower = CLIPTextTower(tcfg, dtype=clip.dtype,
-                                      attn_impl=clip.attn_impl,
-                                      quant=clip.quant)
-                tparams = truncated_text_params(
-                    params["clip"], spec.stage1_layers)
-                wcal = tables["stage1_wcal"]
+                def make_s1(layers, wcal):
+                    tcfg = _dc.replace(
+                        clip.config.text, num_layers=layers)
+                    tower = CLIPTextTower(tcfg, dtype=clip.dtype,
+                                          attn_impl=clip.attn_impl,
+                                          quant=clip.quant)
+                    tparams = truncated_text_params(
+                        params["clip"], layers)
 
-                @jax.jit
-                def s1_score(clip_ids, clip_mask, image_embeds):
-                    """(B, k, L) assembled rows -> (B, k) stage-1 cosines
-                    (truncated tower + calibrated projection)."""
-                    kk, L = clip_ids.shape[1], clip_ids.shape[2]
-                    pooled = tower.apply(
-                        {"params": tparams},
-                        clip_ids.reshape(B * kk, L),
-                        clip_mask.reshape(B * kk, L),
-                    )
-                    emb = (pooled.astype(jnp.float32) @ wcal).reshape(
-                        B, kk, -1)
-                    emb = emb / (
-                        jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
-                    img = image_embeds.astype(jnp.float32)
-                    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-                    return jnp.einsum("bkd,bd->bk", emb, img)
+                    @jax.jit
+                    def s1_score(clip_ids, clip_mask, image_embeds):
+                        """(B, k, L) assembled rows -> (B, k) stage-1
+                        cosines (truncated tower + calibrated
+                        projection)."""
+                        kk, L = clip_ids.shape[1], clip_ids.shape[2]
+                        pooled = tower.apply(
+                            {"params": tparams},
+                            clip_ids.reshape(B * kk, L),
+                            clip_mask.reshape(B * kk, L),
+                        )
+                        emb = (pooled.astype(jnp.float32) @ wcal).reshape(
+                            B, kk, -1)
+                        emb = emb / (
+                            jnp.linalg.norm(emb, axis=-1, keepdims=True)
+                            + 1e-6)
+                        img = image_embeds.astype(jnp.float32)
+                        img = img / jnp.linalg.norm(
+                            img, axis=-1, keepdims=True)
+                        return jnp.einsum("bkd,bd->bk", emb, img)
 
-                self.s1_score = s1_score
+                    return s1_score
+
+                self.s1_score = make_s1(
+                    spec.stage1_layers, tables["stage1_wcal"])
+                if (spec.stage1_precut
+                        and spec.stage1_precut_mode == "tower"):
+                    self.s1_pc_score = make_s1(
+                        spec.stage1_precut_layers,
+                        tables["stage1_wcal_pc"])
 
         self.propose = propose
         self.span_logits = span_logits
@@ -301,6 +317,22 @@ class _HostEngine:
 
         cand = build_cand(idxs_np)
         clip_ids, clip_mask = self._assemble(cand)
+
+        if prune_on and self.s1_pc_score is not None:
+            # tower pre-cut: the SHALLOW truncated tower ranks all
+            # assembled rows and the survivors' rows are reused (gibbs
+            # gathers identically)
+            pc = np.asarray(
+                self.s1_pc_score(clip_ids, clip_mask, image_embeds))
+            keep = np.argsort(-pc, axis=1, kind="stable")[
+                :, : spec.stage1_precut]
+            idxs_np = np.take_along_axis(idxs_np, keep, axis=1)
+            top_probs_np = np.take_along_axis(top_probs_np, keep, axis=1)
+            cand = np.take_along_axis(cand, keep[:, :, None], axis=1)
+            keep_j = jnp.asarray(keep)[:, :, None]
+            clip_ids = jnp.take_along_axis(clip_ids, keep_j, axis=1)
+            clip_mask = jnp.take_along_axis(clip_mask, keep_j, axis=1)
+            k = spec.stage1_precut
 
         if prune_on and self.s1_score is not None:
             # factorized stage-1 scores ALL assembled rows, then the

@@ -133,11 +133,14 @@ MAX_STAGE1_MAP_DEPTH = 64
 
 
 def stage1_map_depth(spec, batch_rows: int) -> int:
-    """Depth of the lax.map chunking the factorized stage-1 candidate
+    """Depth of the DEEPEST lax.map chunking a factorized candidate
     encode — mirrors ``gibbs._encode_candidates``'s chunk arithmetic
-    (rows = batch * stage-1 width, chunked at ``clip_row_chunk``)."""
+    (rows = batch * stage width, chunked at ``clip_row_chunk``). With a
+    PROXY pre-cut the truncated tower sees only m rows; a TOWER pre-cut
+    itself encodes all k rows, so the guard keys on the full width."""
     k = spec.candidate_k
-    if spec.stage1_precut and spec.stage1_precut < k:
+    if (spec.stage1_precut and spec.stage1_precut < k
+            and getattr(spec, "stage1_precut_mode", "proxy") != "tower"):
         k = spec.stage1_precut
     rc = spec.clip_row_chunk
     if not rc or batch_rows * k <= rc:
@@ -476,7 +479,15 @@ class Captioner:
             raise ValueError(
                 "factorized stage-1 needs unrolled layer params "
                 "(scan_layers=False)")
-        meta = (requested, self.cfg.clip_len)
+        pc_layers = 0
+        if (self.cfg.prune_stage1_precut
+                and self.cfg.prune_stage1_precut_mode == "tower"):
+            pc_layers = self.cfg.prune_stage1_precut_layers
+            if not 1 <= pc_layers < full_layers:
+                raise ValueError(
+                    f"prune_stage1_precut_layers={pc_layers} must be in "
+                    f"[1, {full_layers - 1}]")
+        meta = (requested, self.cfg.clip_len, pc_layers)
         if ("stage1_wcal" in self.tables
                 and getattr(self, "_stage1_meta", None) == meta):
             return
@@ -590,10 +601,28 @@ class Captioner:
                   f"{self.stage1_calib_cos:.4f} (layers={n_layers})")
         self.tables["stage1_wcal"] = mesh_lib.replicate(
             self.mesh, jnp.asarray(w.astype(np.float32)))
+        if pc_layers:
+            # the tower pre-cut's own projection. Its held-out cosine is
+            # recorded but NOT hard-warned: the pre-cut is a recall
+            # filter whose errors the deeper stage-1 reranks away unless
+            # recall itself collapses — the end-to-end gate cells are
+            # the contract (BASELINE.md r5 len77 rows).
+            if pc_layers >= n_layers:
+                raise ValueError(
+                    f"prune_stage1_precut_layers={pc_layers} must be "
+                    f"shallower than the (resolved) prune_stage1_layers="
+                    f"{n_layers}")
+            w_pc, self.stage1_pc_calib_cos = fit(pc_layers)
+            self.tables["stage1_wcal_pc"] = mesh_lib.replicate(
+                self.mesh, jnp.asarray(w_pc.astype(np.float32)))
+            if self.cfg.verbose:
+                print(f"factorized tower pre-cut calibration held-out "
+                      f"cosine {self.stage1_pc_calib_cos:.4f} "
+                      f"(layers={pc_layers})")
         # cache under BOTH the request key (0 = auto) and the resolved
         # concrete depth — a later run with either value reuses the fit
         self._stage1_meta = (self.cfg.prune_stage1_layers,
-                             self.cfg.clip_len)
+                             self.cfg.clip_len, pc_layers)
 
     def init_ids(self, prompt: str, max_len: int, batch_size: int) -> np.ndarray:
         """[CLS] prompt [MASK]*L [SEP], replicated (utils.py:46-51)."""
@@ -800,6 +829,8 @@ class Captioner:
             prune_stage1=self.cfg.prune_stage1,
             stage1_layers=self.cfg.prune_stage1_layers,
             stage1_precut=self.cfg.prune_stage1_precut,
+            stage1_precut_mode=self.cfg.prune_stage1_precut_mode,
+            stage1_precut_layers=self.cfg.prune_stage1_precut_layers,
             prefix_chunks=None if exact else prefix_chunks,
             clip_row_chunk=row_chunk,
             clip_pad_to=self._clip_pad_to(),
@@ -951,7 +982,8 @@ class Captioner:
         if prune_k is not None:
             if self.cfg.prune_stage1 == "factorized":
                 self._ensure_stage1_calibration()
-                if self.cfg.prune_stage1_precut:
+                if (self.cfg.prune_stage1_precut
+                        and self.cfg.prune_stage1_precut_mode == "proxy"):
                     self._ensure_word_embeds()  # the cascade's proxy cut
             else:
                 self._ensure_word_embeds()
@@ -1003,7 +1035,9 @@ class Captioner:
             if spec.prune_stage1 == "factorized":
                 need.add("stage1_wcal")
                 if spec.stage1_precut:
-                    need.add("word_embeds")
+                    need.add("stage1_wcal_pc"
+                             if spec.stage1_precut_mode == "tower"
+                             else "word_embeds")
             else:
                 need.add("word_embeds")
         if spec.mask_impl == "compare":

@@ -318,7 +318,7 @@ def test_cell_key_builder_matches_the_gate_grammar():
 
     pat = re.compile(
         r"^(sequential|shuffle|span|random|parallel)/"
-        r"(free|sentiment|pos)/prune\d+(\+fact\d+(?:pc\d+)?)?"
+        r"(free|sentiment|pos)/prune\d+(\+fact\d+(?:pc\d+(?:t\d+)?)?)?"
         r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
         r"(@n\d+)?(@len\d+)?(@s\d+)?$"
     )
@@ -341,6 +341,15 @@ def test_cell_key_builder_matches_the_gate_grammar():
     assert cell_key(prune_k=3, stage1="factorized", stage1_pct=50,
                     precut=24, topk_mode="approx", recall=0.9) == \
         "sequential/free/prune3+fact50pc24+approx0.9"
+    # the r5 two-stage cascade: tower pre-cut depth percent suffix
+    assert cell_key(prune_k=3, stage1="factorized", stage1_pct=50,
+                    precut=24, precut_tower_pct=17,
+                    topk_mode="approx", recall=0.9) == \
+        "sequential/free/prune3+fact50pc24t17+approx0.9"
+    key = cell_key(ctl="pos", prune_k=5, stage1="factorized",
+                   stage1_pct=50, precut=24, precut_tower_pct=17,
+                   clip_len=77, n_images=16)
+    assert pat.match(key), key
 
 
 def test_committed_matrix_keys_parse():
@@ -357,7 +366,7 @@ def test_committed_matrix_keys_parse():
         matrix = json.load(f)
     pat = re.compile(
         r"^(sequential|shuffle|span|random|parallel)/"
-        r"(free|sentiment|pos)/prune\d+(\+fact\d+(?:pc\d+)?)?"
+        r"(free|sentiment|pos)/prune\d+(\+fact\d+(?:pc\d+(?:t\d+)?)?)?"
         r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
         r"(@n\d+)?(@len\d+)?(@s\d+)?$"
     )

@@ -164,12 +164,135 @@ def test_factorized_differs_from_proxy_and_uses_wcal_table(cap):
         "wiring suspicious")
 
 
+def test_tower_precut_engine_matches_recomposed_oracle():
+    """--prune_stage1_precut_mode tower (the r5 two-stage cascade):
+    shallow tower (1L + wcal_pc) cuts k -> m over the assembled rows,
+    deeper tower (2L + wcal) cuts m -> prune_k, exact rescore —
+    recomposed outside the engine and pinned. Needs a >=3-layer text
+    tower (pc 1 < s1 2 < full), so it builds its own captioner."""
+    import dataclasses as _dc
+
+    from conzic_tpu.models.configs import CLIPConfig
+
+    B, K, M, PK = 3, 16, 8, 4
+    prompt = "Image of a"
+    cfg = ConzicConfig()
+    cfg.verbose = False
+    cfg.dtype = "float32"
+    cfg.param_dtype = "float32"
+    cfg.prune_k = PK
+    cfg.prune_stage1 = "factorized"
+    cfg.prune_stage1_layers = 2
+    cfg.prune_stage1_precut = M
+    cfg.prune_stage1_precut_mode = "tower"
+    cfg.prune_stage1_precut_layers = 1
+    clip_cfg = CLIPConfig.tiny()
+    clip_cfg = _dc.replace(
+        clip_cfg, text=_dc.replace(clip_cfg.text, num_layers=4))
+    cap = Captioner.from_random(cfg, clip_config=clip_cfg,
+                                init_mode="proper")
+    rng = np.random.RandomState(4)
+    D = cap.clip_model.config.projection_dim
+    embeds = jnp.asarray(rng.randn(B, D).astype(np.float32))
+
+    res = cap.run(embeds, prompt=prompt, max_len=1, top_k=K,
+                  temperature=0.1, max_iter=1, alpha=0.02, beta=2.0,
+                  order="sequential", rng=np.random.RandomState(7),
+                  prune_k=PK)
+    wcal = cap.tables["stage1_wcal"]
+    wcal_pc = cap.tables["stage1_wcal_pc"]
+    committed = np.asarray(res.iter_ids[-1])
+    col = cap.seed_len(prompt)
+    got = committed[:, col]
+
+    init = jnp.asarray(cap.init_ids(prompt, 1, B))
+    bert_logits = cap.bert_model.apply(
+        {"params": cap.params["bert"]}, init)[:, col, :]
+    probs = energies.masked_lm_probs(
+        bert_logits, cap.tables["mask_last"], jnp.float32(0.1))
+    top_probs, idxs = energies.topk_candidates(
+        probs, cap.tables["mask_last"][None, :], K,
+        chunk=cap.cfg.topk_chunk)
+    inner = init[:, 1 : init.shape[1] - 1]
+    ids_all, mask_all = assemble_clip_ids_substitute(
+        inner, idxs, jnp.full((B,), col - 1),
+        cap.tables["bridge_ids"], cap.tables["bridge_lens"],
+        bos_id=cap.bridge.bos_id, eos_id=cap.bridge.eos_id,
+        pad_id=cap.bridge.pad_id, clip_len=cap.cfg.clip_len)
+    L = ids_all.shape[-1]
+    img_n = embeds / jnp.linalg.norm(embeds, axis=-1, keepdims=True)
+
+    def tower_scores(ids_a, mask_a, layers, w):
+        tcfg = dataclasses.replace(
+            cap.clip_model.config.text, num_layers=layers)
+        tower = CLIPTextTower(tcfg, dtype=cap.clip_model.dtype)
+        tparams = truncated_text_params(cap.params["clip"], layers)
+        kk = ids_a.shape[1]
+        pooled = tower.apply({"params": tparams},
+                             ids_a.reshape(B * kk, L),
+                             mask_a.reshape(B * kk, L))
+        emb = (pooled.astype(jnp.float32) @ w).reshape(B, kk, -1)
+        emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
+        return jnp.einsum("bkd,bd->bk", emb, img_n)
+
+    # stage 0: shallow tower over ALL K assembled rows
+    _, keep0 = jax.lax.top_k(tower_scores(ids_all, mask_all, 1, wcal_pc), M)
+    idxs_m = jnp.take_along_axis(idxs, keep0, axis=1)
+    probs_m = jnp.take_along_axis(top_probs, keep0, axis=1)
+    ids_m = jnp.take_along_axis(ids_all, keep0[:, :, None], axis=1)
+    mask_m = jnp.take_along_axis(mask_all, keep0[:, :, None], axis=1)
+    # stage 1: deeper tower over the m survivors' REUSED rows
+    _, keep = jax.lax.top_k(tower_scores(ids_m, mask_m, 2, wcal), PK)
+    idxs_kept = jnp.take_along_axis(idxs_m, keep, axis=1)
+    probs_kept = jnp.take_along_axis(probs_m, keep, axis=1)
+    ids_kept = jnp.take_along_axis(ids_m, keep[:, :, None], axis=1)
+    mask_kept = jnp.take_along_axis(mask_m, keep[:, :, None], axis=1)
+    emb_full = cap.clip_model.apply(
+        {"params": cap.params["clip"]},
+        ids_kept.reshape(B * PK, L), mask_kept.reshape(B * PK, L),
+        method=CLIPModel.encode_text)
+    clip_probs, _ = cap.clip_model.apply(
+        {"params": cap.params["clip"]}, embeds, emb_full,
+        method=CLIPModel.similarity)
+    final = energies.combine_scores(
+        probs_kept, clip_probs, jnp.float32(0.02), jnp.float32(2.0))
+    sel = jnp.argmax(final, axis=1)
+    expected = np.asarray(
+        jnp.take_along_axis(idxs_kept, sel[:, None], axis=1))[:, 0]
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_tower_precut_rejects_non_shallower_layers():
+    cfg = ConzicConfig()
+    cfg.prune_stage1 = "factorized"
+    cfg.prune_k = 4
+    cfg.prune_stage1_precut = 8
+    cfg.prune_stage1_precut_mode = "tower"
+    cfg.prune_stage1_layers = 2
+    cfg.prune_stage1_precut_layers = 2
+    with pytest.raises(AssertionError, match="SHALLOWER"):
+        cfg.validate()
+    cfg.prune_stage1_precut_layers = 1
+    cfg.validate()
+
+
 def _host_vs_callback_pruned(monkeypatch, *, stage1, final_exact=False,
-                             ctl=None, precut=0):
+                             ctl=None, precut=0, precut_mode="proxy",
+                             stage1_layers=1, precut_layers=1,
+                             clip_layers=0):
     """Pruned run, host-stepped vs pure_callback engine — byte-identical
     (host_exact prune_k support, VERDICT r3 weak #6)."""
-    from conzic_tpu.engine import host_exact
+    import dataclasses as _dc
 
+    from conzic_tpu.engine import host_exact
+    from conzic_tpu.models.configs import CLIPConfig
+
+    clip_cfg = None
+    if clip_layers:
+        clip_cfg = CLIPConfig.tiny()
+        clip_cfg = _dc.replace(
+            clip_cfg, text=_dc.replace(clip_cfg.text,
+                                       num_layers=clip_layers))
     results = {}
     for host in (False, True):
         cfg = ConzicConfig()
@@ -179,10 +302,13 @@ def _host_vs_callback_pruned(monkeypatch, *, stage1, final_exact=False,
         cfg.bridge_mode = "exact"
         cfg.prune_k = 3
         cfg.prune_stage1 = stage1
-        cfg.prune_stage1_layers = 1
+        cfg.prune_stage1_layers = stage1_layers
         cfg.prune_stage1_precut = precut
+        cfg.prune_stage1_precut_mode = precut_mode
+        cfg.prune_stage1_precut_layers = precut_layers
         cfg.prune_final_exact = final_exact
-        c = Captioner.from_random(cfg, init_mode="proper", seed=11)
+        c = Captioner.from_random(cfg, init_mode="proper", seed=11,
+                                  clip_config=clip_cfg)
         monkeypatch.setattr(
             host_exact, "supports_host_callbacks", lambda h=host: not h
         )
@@ -307,6 +433,12 @@ def test_host_stepped_cascade_matches_callback(monkeypatch):
     _host_vs_callback_pruned(monkeypatch, stage1="factorized", precut=5)
 
 
+def test_host_stepped_tower_cascade_matches_callback(monkeypatch):
+    _host_vs_callback_pruned(monkeypatch, stage1="factorized", precut=5,
+                             precut_mode="tower", stage1_layers=2,
+                             precut_layers=1, clip_layers=4)
+
+
 def test_auto_layer_selection_resolves_and_caches(cap):
     """--prune_stage1_layers 0: auto-select the smallest depth clearing
     the calibration pass band (floor 2), sticky-resolved into cfg."""
@@ -336,9 +468,10 @@ def test_stage1_map_depth_mirrors_encode_chunking():
 
     from conzic_tpu.engine.sampler import stage1_map_depth
 
-    def spec(k, precut, rc):
+    def spec(k, precut, rc, pc_mode="proxy"):
         return SimpleNamespace(candidate_k=k, stage1_precut=precut,
-                               clip_row_chunk=rc)
+                               clip_row_chunk=rc,
+                               stage1_precut_mode=pc_mode)
 
     # no chunking / everything fits in one chunk -> depth 1
     assert stage1_map_depth(spec(200, 0, 0), 512) == 1
@@ -350,6 +483,9 @@ def test_stage1_map_depth_mirrors_encode_chunking():
     # pre-cut shrinks the mapped width (the cascade's stage-1 encode
     # only sees m rows per position)
     assert stage1_map_depth(spec(200, 24, 800), 512) == 24
+    # ...but a TOWER pre-cut itself encodes all k rows: the guard keys
+    # on the full width
+    assert stage1_map_depth(spec(200, 24, 800, "tower"), 512) == 200
     # kc adjusts down to a divisor of k, exactly like gibbs.py
     assert stage1_map_depth(spec(16, 0, 8), 3) == 8  # kc: 2 divides 16
 

@@ -114,6 +114,12 @@ def main():
                    help="run the cascade (proxy pre-cut) points (CASCADE)")
     p.add_argument("--stage1_precut", type=int, default=0,
                    help="single-cell mode: cascade pre-cut width")
+    p.add_argument("--stage1_precut_mode", default="proxy",
+                   choices=["proxy", "tower"],
+                   help="single-cell mode: pre-cut scorer (tower = the "
+                        "r5 two-stage cascade)")
+    p.add_argument("--stage1_precut_layers", type=int, default=1,
+                   help="single-cell mode: tower pre-cut depth")
     p.add_argument("--prune_stage1", default="proxy",
                    choices=["proxy", "factorized"],
                    help="single-cell mode: stage-1 scorer")
@@ -171,10 +177,12 @@ def main():
         jobs = [(args.prune_k, args.topk_mode, args.recall,
                  args.final_exact, args.ctl, args.clip_len, args.n_images,
                  args.prune_stage1, args.stage1_layers,
-                 args.stage1_precut)]
-    # pad short tuples: default proxy stage-1, no precut
+                 args.stage1_precut, args.stage1_precut_mode,
+                 args.stage1_precut_layers)]
+    # pad short tuples: default proxy stage-1, no precut, proxy pre-cut
     jobs = [(*j, "proxy", 2)[:9] if len(j) < 9 else j for j in jobs]
-    jobs = [j if len(j) == 10 else (*j, 0) for j in jobs]
+    jobs = [j if len(j) >= 10 else (*j, 0) for j in jobs]
+    jobs = [j if len(j) == 12 else (*j, "proxy", 1) for j in jobs]
 
     # one captioner per clip_len (static shape); scenes shared per n
     captioners = {}
@@ -226,14 +234,18 @@ def main():
                          "scene_seed": args.scene_seed}
 
     for (pk, mode, recall, fe, ctl, clip_len, n, stage1, s1_layers,
-         precut) in jobs:
+         precut, pc_mode, pc_layers) in jobs:
         cap = get_cap(clip_len)
         cap.cfg.topk_recall = recall
         cap.cfg.prune_stage1 = stage1
         cap.cfg.prune_stage1_layers = s1_layers
         cap.cfg.prune_stage1_precut = precut
+        cap.cfg.prune_stage1_precut_mode = pc_mode
+        cap.cfg.prune_stage1_precut_layers = pc_layers
         tower_layers = cap.clip_model.config.text.num_layers
         s1_pct = round(100 * s1_layers / tower_layers)
+        pc_tower_pct = (round(100 * pc_layers / tower_layers)
+                        if precut and pc_mode == "tower" else 0)
         imgs, gt_caps, scenes = get_data(n)
         pils = [Image.fromarray(imgs[i]) for i in range(n)]
         embeds = cap.encode_images(pils)
@@ -243,7 +255,7 @@ def main():
         key = cell_key(ctl=ctl, prune_k=pk, topk_mode=mode, recall=recall,
                        final_exact=fe, n_images=n, clip_len=clip_len,
                        stage1=stage1, stage1_pct=s1_pct, precut=precut,
-                       seed=key_seed)
+                       precut_tower_pct=pc_tower_pct, seed=key_seed)
         if args.cpu:
             key += "+CPU-SMOKE"
         print(f"--- trained/{key}", flush=True)

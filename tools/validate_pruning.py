@@ -53,10 +53,12 @@ def session_tag() -> str:
 def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
              recall=0.95, final_exact=False, quant="none",
              n_images=4, clip_len=24, seed=0,
-             stage1="proxy", stage1_pct=50, precut=0) -> str:
+             stage1="proxy", stage1_pct=50, precut=0,
+             precut_tower_pct=0) -> str:
     """THE matrix cell-key grammar, in one place:
-    ``order/<ctl|free>/prune<k>[+fact<pct>[pc<m>]][+approx<recall>]
-    [+final_exact][+int8|+int8_all][@n<N>][@len<L>][@s<seed>]``.
+    ``order/<ctl|free>/prune<k>[+fact<pct>[pc<m>[t<pct>]]]
+    [+approx<recall>][+final_exact][+int8|+int8_all][@n<N>][@len<L>]
+    [@s<seed>]``.
     bench.py's gate matches this order (its standalone copy is
     comment-linked here) and tests/test_bench_gate.py pins the committed
     matrix against the same regex — hand-assembled keys drift (commit
@@ -67,13 +69,17 @@ def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
     count — the trained evidence (4-layer tower) and full-size runs
     (12 layers) only align on relative depth, and the per-checkpoint
     calibration held-out cosine (sampler._ensure_stage1_calibration)
-    checks the transfer at runtime. ``pc<m>`` marks the cascade's proxy
-    pre-cut width."""
+    checks the transfer at runtime. ``pc<m>`` marks the cascade's
+    pre-cut width; a trailing ``t<pct>`` marks the TOWER pre-cut (a
+    shallower truncated tower at that depth percent replacing the bag
+    proxy — the two-stage cascade, r5)."""
     key = f"{order}/{ctl or 'free'}/prune{prune_k}"
     if stage1 == "factorized":
         key += f"+fact{stage1_pct:g}"
         if precut:
             key += f"pc{precut}"
+            if precut_tower_pct:
+                key += f"t{precut_tower_pct:g}"
     if topk_mode == "approx":
         key += f"+approx{recall:g}"
     if final_exact:
