@@ -67,6 +67,10 @@ STAGE1_PRECUT_MODE = os.environ.get("CONZIC_BENCH_STAGE1_PRECUT_MODE",
                                     "proxy")
 STAGE1_PRECUT_LAYERS = int(
     os.environ.get("CONZIC_BENCH_STAGE1_PRECUT_LAYERS", "1"))
+# control-aware stage-1 ranking (config.prune_stage1_ctl): auto = on for
+# controlled pruned runs (the r5 default — cosine-only cuts drop the
+# control effect, EVAL.md); "off" re-measures the r4 cosine-ranked tiers
+STAGE1_CTL = os.environ.get("CONZIC_BENCH_STAGE1_CTL", "auto")
 # controlled generation: "" (free captioning, the default headline) |
 # "sentiment" | "pos" — the reference's control feature, benched with
 # gamma=5.0 and the default table energies
@@ -94,6 +98,7 @@ for _name, _val, _allowed in (
     ("CONZIC_BENCH_STAGE1", STAGE1, ("proxy", "factorized")),
     ("CONZIC_BENCH_STAGE1_PRECUT_MODE", STAGE1_PRECUT_MODE,
      ("proxy", "tower")),
+    ("CONZIC_BENCH_STAGE1_CTL", STAGE1_CTL, ("auto", "on", "off")),
     ("CONZIC_BENCH_CTL", CTL, (None, "sentiment", "pos")),
     ("CONZIC_BENCH_ATTN", ATTN, ("xla", "pallas", "pallas_out",
                                  "pallas_block", "twoblock", "xla_bhsd")),
@@ -185,6 +190,7 @@ def build_captioner():
         cfg.prune_stage1_precut = STAGE1_PRECUT
         cfg.prune_stage1_precut_mode = STAGE1_PRECUT_MODE
         cfg.prune_stage1_precut_layers = STAGE1_PRECUT_LAYERS
+        cfg.prune_stage1_ctl = STAGE1_CTL
     if SMALL_MODELS:
         cap = Captioner.from_random(
             config=cfg, dtype=jnp.bfloat16 if on_tpu else jnp.float32
@@ -429,6 +435,10 @@ def check_prune_quality():
                 suffix += f"t{pc_pct:g}"
     else:
         suffix = ""
+    if CTL and STAGE1_CTL != "off":
+        # controlled pruned runs default to the ctl-aware stage-1 rank —
+        # a DIFFERENT program than the r4 cosine-ranked ctl cells
+        suffix += "+ctlrank"
     suffix += f"+approx{TOPK_RECALL:g}" if TOPK_MODE == "approx" else ""
     if PRUNE_FINAL_EXACT:  # hybrid runs gate on the hybrid's (tighter) cell
         suffix += "+final_exact"
@@ -587,6 +597,8 @@ def main():
                              if EFFECTIVE.get("precut_tower_pct") else ""))
                          if STAGE1_PRECUT else ""))
                      if PRUNE and STAGE1 == "factorized" else "")
+                  + (" ctlrank" if PRUNE and CTL and STAGE1_CTL != "off"
+                     else "")
                   + (" final_exact" if PRUNE and PRUNE_FINAL_EXACT else "")
                   + (f" topk=approx{TOPK_RECALL:g}"
                      if PRUNE and TOPK_MODE == "approx" else "")

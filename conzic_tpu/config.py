@@ -105,6 +105,16 @@ class ConzicConfig:
     # cascade, the len77 tier's lever; VERDICT r4 item 2).
     prune_stage1_precut_mode: str = "proxy"
     prune_stage1_precut_layers: int = 1
+    # control-aware stage-1 ranking: rank every stage-1 cut by the full
+    # combine (alpha*lm + beta*softmax(scale*surrogate_cos) +
+    # gamma*ctl_probs [+ repeat penalty]) instead of the surrogate cosine
+    # alone. Cosine-only ranking structurally drops the control effect —
+    # measured on trained_mid (EVAL.md r5): sentiment shift +2.40 at full
+    # parity collapses to +0.03 at the cosine-ranked fact50pc96 tier,
+    # while its Δcos gate cell stays "under" (the gate bounds cosine, not
+    # steering). "auto" (default) = on whenever a control is active and a
+    # pruned tier is; "on"/"off" force. Free tiers are never affected.
+    prune_stage1_ctl: str = "auto"
     # override for the factorized stage-1 deep-map guard: the no-precut
     # B=512/clip_row_chunk=800 program (a 200-deep lax.map of 512-row
     # truncated encodes) reproducibly device-faults UNAVAILABLE on the
@@ -197,6 +207,7 @@ class ConzicConfig:
         assert self.prune_stage1_precut >= 0
         assert self.prune_stage1_precut_mode in ("proxy", "tower")
         assert self.prune_stage1_precut_layers >= 1
+        assert self.prune_stage1_ctl in ("auto", "on", "off")
         if self.prune_stage1 == "factorized":
             assert self.prune_k > 0, "--prune_stage1 factorized requires --prune_k"
             assert not self.scan_layers, (
@@ -294,6 +305,15 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    default=d.prune_stage1_precut_layers,
                    help="tower pre-cut depth (must be < "
                         "--prune_stage1_layers)")
+    p.add_argument("--prune_stage1_ctl", type=str,
+                   default=d.prune_stage1_ctl,
+                   choices=["auto", "on", "off"],
+                   help="control-aware stage-1 ranking: rank pruning cuts "
+                        "by the full combine (incl. the gamma control "
+                        "term) instead of surrogate cosine alone — "
+                        "cosine-only cuts drop the control effect "
+                        "(EVAL.md r5). auto = on for controlled pruned "
+                        "runs")
     p.add_argument("--allow_deep_stage1", action="store_true",
                    default=d.allow_deep_stage1,
                    help="run factorized stage-1 programs whose candidate-"

@@ -244,6 +244,65 @@ def prune_proxy_scores(
     return jnp.einsum("bkd,bd->bk", cand_vec, img.astype(cand_vec.dtype))
 
 
+def stage1_ctl_rank(
+    surr_cos: jax.Array,
+    lm_probs: jax.Array,
+    cand_ids: jax.Array,
+    cand_rows: jax.Array,
+    *,
+    ctl: str,
+    negative: bool,
+    seq_len: int,
+    logit_scale: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    gamma: jax.Array,
+    senti: Optional[jax.Array] = None,
+    pos_table: Optional[jax.Array] = None,
+    template: Optional[jax.Array] = None,
+    bridge_lens: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Control-aware stage-1 pruning rank: the FULL combine over the
+    current candidate set, with the stage-1 surrogate cosine standing in
+    for the exact stage-2 cosine.
+
+    Cosine-only stage-1 ranking structurally drops the control effect:
+    the gamma term never sees the valence/POS words the control exists
+    to promote, so the ctl speed tiers keep their Δcos bound while
+    losing most of the measured steering (EVAL.md r5 — sentiment shift
+    +2.40 at full parity collapses to +0.03 at fact50pc96). This rank
+    mirrors the final energy (gen_utils.py:77 / control_gen_utils.py:59,
+    114,169 semantics): ``alpha*lm + beta*softmax(scale*cos) +
+    gamma*ctl_probs [+ repeat penalty]`` — softmaxes taken over the
+    CURRENT candidate axis, the same monotone surrogate stage 2 applies
+    to the survivors. The ctl term is always the device-table form, even
+    under ctl_mode="exact" (stage 1 is already a surrogate; the exact
+    host pipeline scores the survivors).
+
+    surr_cos/lm_probs/cand_ids: (B, K); cand_rows: (B, K, S) full BERT
+    rows with the candidate substituted. Returns the (B, K) rank score.
+    """
+    clip_probs = jax.nn.softmax(
+        surr_cos.astype(jnp.float32) * jnp.exp(logit_scale), axis=-1
+    )
+    penalty = None
+    if ctl == "sentiment":
+        score = sentiment_scores(cand_rows, senti, negative=negative)
+        ctl_probs = sentiment_probs(score)
+        penalty = repeat_penalty(cand_ids, cand_rows)
+    elif ctl == "pos":
+        inner = cand_rows[:, :, 1 : seq_len - 1]
+        word_valid = (bridge_lens[inner] > 0).astype(jnp.int32)
+        score = pos_accuracy(inner, pos_table, template, word_valid)
+        ctl_probs = pos_probs(score)
+    else:
+        raise ValueError(f"stage1_ctl_rank: unknown ctl {ctl!r}")
+    return combine_scores(
+        lm_probs, clip_probs, alpha, beta,
+        ctl_probs=ctl_probs, gamma=gamma, penalty=penalty,
+    )
+
+
 def repeat_penalty(cand_ids: jax.Array, cand_rows: jax.Array) -> jax.Array:
     """``0.1 * (1 - exp(repeats))`` where repeats counts how often the
     candidate id already occurs in its (candidate-substituted) full row,

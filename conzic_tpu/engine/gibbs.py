@@ -104,6 +104,17 @@ class EngineSpec:
     # two-stage factorized cascade, VERDICT r4 item 2)
     stage1_precut_mode: str = "proxy"
     stage1_precut_layers: int = 1
+    # control-aware stage-1 ranking (r5): rank every stage-1 cut (proxy,
+    # truncated tower, and the cascade pre-cut) by the FULL combine —
+    # alpha*lm + beta*softmax(scale*surrogate_cos) + gamma*ctl(+penalty)
+    # — instead of the surrogate cosine alone. Cosine-only ranking
+    # structurally drops the control effect (the gamma term never sees
+    # the words the control promotes; measured: sentiment shift +2.40 at
+    # full parity collapses to +0.03 at the cosine-ranked fact50pc96
+    # tier, EVAL.md r5). Only meaningful with ctl set; the ctl term is
+    # the device-table form even under ctl_mode="exact" (stage 1 is a
+    # surrogate; the exact host pipeline scores the survivors).
+    stage1_ctl: bool = False
     # exact prefix-KV reuse (see CLIPModel.encode_text_shared_prefix):
     # ((prefix_len, n_steps), ...) chunking of the per-iteration position
     # scan — each chunk's steps share a static lower bound on the candidates'
@@ -384,6 +395,32 @@ def _position_update(
         )
         return ids_, mask_, prefix_len
 
+    def _stage1_rank(surr, idxs_k, top_probs_k):
+        """Stage-1 cut ranking: the surrogate cosine, or — under
+        spec.stage1_ctl — the full control-aware combine over the current
+        candidate set (energies.stage1_ctl_rank)."""
+        if not spec.stage1_ctl or spec.ctl is None:
+            return surr
+        kk = idxs_k.shape[1]
+        rows = jnp.broadcast_to(
+            base_ids[:, None, :], (B, kk, base_ids.shape[1]))
+        oh = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, (base_ids.shape[1],), 0)[None, :]
+            == col[:, None]
+        )
+        rows = jnp.where(oh[:, None, :], idxs_k[:, :, None], rows)
+        return energies.stage1_ctl_rank(
+            surr, top_probs_k, idxs_k, rows,
+            ctl=spec.ctl, negative=spec.negative, seq_len=spec.seq_len,
+            logit_scale=params["clip"]["logit_scale"],
+            alpha=hyper["alpha"], beta=hyper["beta"],
+            gamma=hyper["gamma"],
+            senti=tables.get("senti"), pos_table=tables.get("pos"),
+            template=tables.get("template"),
+            bridge_lens=tables["bridge_lens"],
+        )
+
     preassembled = None
     if spec.prune_k is not None and spec.prune_k < k:
         if spec.prune_stage1 == "factorized":
@@ -424,7 +461,8 @@ def _position_update(
                         ids_all, mask_all, pl, spec.stage1_precut_layers,
                         tables["stage1_wcal_pc"])
                     _, keep0 = energies.dp_local_top_k(
-                        pc_scores, spec.stage1_precut, mesh=mesh)
+                        _stage1_rank(pc_scores, idxs, top_probs),
+                        spec.stage1_precut, mesh=mesh)
                     assembled = (
                         jnp.take_along_axis(
                             ids_all, keep0[:, :, None], axis=1),
@@ -441,7 +479,8 @@ def _position_update(
                         exclude_slot=spec.order_kind == "parallel",
                     )
                     _, keep0 = energies.dp_local_top_k(
-                        proxy0, spec.stage1_precut, mesh=mesh)
+                        _stage1_rank(proxy0, idxs, top_probs),
+                        spec.stage1_precut, mesh=mesh)
                 idxs = jnp.take_along_axis(idxs, keep0, axis=1)
                 top_probs = jnp.take_along_axis(top_probs, keep0, axis=1)
                 k = spec.stage1_precut
@@ -452,7 +491,8 @@ def _position_update(
                 ids_all, mask_all, pl, spec.stage1_layers,
                 tables["stage1_wcal"])
             _, keep = energies.dp_local_top_k(
-                s1_scores, spec.prune_k, mesh=mesh)  # (B, k')
+                _stage1_rank(s1_scores, idxs, top_probs),
+                spec.prune_k, mesh=mesh)  # (B, k')
             preassembled = (
                 jnp.take_along_axis(ids_all, keep[:, :, None], axis=1),
                 jnp.take_along_axis(mask_all, keep[:, :, None], axis=1),
@@ -470,7 +510,8 @@ def _position_update(
                 spec.seq_len, exclude_slot=spec.order_kind == "parallel",
             )
             _, keep = energies.dp_local_top_k(
-                proxy, spec.prune_k, mesh=mesh)  # (B, k')
+                _stage1_rank(proxy, idxs, top_probs),
+                spec.prune_k, mesh=mesh)  # (B, k')
         idxs = jnp.take_along_axis(idxs, keep, axis=1)
         top_probs = jnp.take_along_axis(top_probs, keep, axis=1)
         k = spec.prune_k

@@ -182,6 +182,25 @@ class _HostEngine:
         self.prune_keep = None
         self.s1_score = None
         self.s1_pc_score = None
+        self.stage1_rank = None
+        if spec.stage1_ctl and spec.ctl is not None:
+            # control-aware stage-1 ranking (gibbs._stage1_rank): the
+            # full combine over the current candidate set, table ctl term
+            # even under ctl_mode="exact" (stage 1 is a surrogate)
+            @jax.jit
+            def stage1_rank(surr, top_probs_k, idxs_k, cand_rows):
+                return energies.stage1_ctl_rank(
+                    surr, top_probs_k, idxs_k, cand_rows,
+                    ctl=spec.ctl, negative=spec.negative,
+                    seq_len=spec.seq_len,
+                    logit_scale=params["clip"]["logit_scale"],
+                    alpha=hyper["alpha"], beta=hyper["beta"],
+                    gamma=hyper["gamma"],
+                    senti=senti, pos_table=pos_tab, template=template,
+                    bridge_lens=bridge_lens,
+                )
+
+            self.stage1_rank = stage1_rank
         if spec.prune_k is not None and spec.prune_k < k:
             # the proxy cut: to prune_k directly (proxy stage-1) or to the
             # cascade's intermediate width m (factorized PROXY precut);
@@ -196,14 +215,30 @@ class _HostEngine:
                 proxy_width = spec.prune_k
             if proxy_width and proxy_width < k:
                 word_embeds = tables["word_embeds"]
+                rank = self.stage1_rank
 
                 @jax.jit
-                def prune_keep(base_ids, col, idxs, image_embeds):
+                def prune_keep(base_ids, col, idxs, top_probs,
+                               image_embeds):
                     proxy = energies.prune_proxy_scores(
                         word_embeds, base_ids, col, idxs, image_embeds,
                         spec.seq_len,
                         exclude_slot=spec.order_kind == "parallel",
                     )
+                    if rank is not None:
+                        kk = idxs.shape[1]
+                        Bk = base_ids.shape[0]
+                        rows = jnp.broadcast_to(
+                            base_ids[:, None, :],
+                            (Bk, kk, base_ids.shape[1]))
+                        oh = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (base_ids.shape[1],), 0)[None, :]
+                            == col[:, None]
+                        )
+                        rows = jnp.where(
+                            oh[:, None, :], idxs[:, :, None], rows)
+                        proxy = rank(proxy, top_probs, idxs, rows)
                     _, keep = jax.lax.top_k(proxy, proxy_width)
                     return keep
 
@@ -301,7 +336,8 @@ class _HostEngine:
             # intermediate width (factorized precut)
             keep = np.asarray(self.prune_keep(
                 jnp.asarray(base_ids), jnp.asarray(col),
-                jnp.asarray(idxs_np), image_embeds,
+                jnp.asarray(idxs_np), jnp.asarray(top_probs_np),
+                image_embeds,
             ))
             idxs_np = np.take_along_axis(idxs_np, keep, axis=1)
             top_probs_np = np.take_along_axis(top_probs_np, keep, axis=1)
@@ -324,6 +360,10 @@ class _HostEngine:
             # gathers identically)
             pc = np.asarray(
                 self.s1_pc_score(clip_ids, clip_mask, image_embeds))
+            if self.stage1_rank is not None:
+                pc = np.asarray(self.stage1_rank(
+                    jnp.asarray(pc), jnp.asarray(top_probs_np),
+                    jnp.asarray(idxs_np), jnp.asarray(cand)))
             keep = np.argsort(-pc, axis=1, kind="stable")[
                 :, : spec.stage1_precut]
             idxs_np = np.take_along_axis(idxs_np, keep, axis=1)
@@ -338,6 +378,10 @@ class _HostEngine:
             # factorized stage-1 scores ALL assembled rows, then the
             # survivors' rows are gathered (gibbs reuses them identically)
             s1 = np.asarray(self.s1_score(clip_ids, clip_mask, image_embeds))
+            if self.stage1_rank is not None:
+                s1 = np.asarray(self.stage1_rank(
+                    jnp.asarray(s1), jnp.asarray(top_probs_np),
+                    jnp.asarray(idxs_np), jnp.asarray(cand)))
             # mirror lax.top_k: descending, ties to the lower index
             keep = np.argsort(-s1, axis=1, kind="stable")[:, : spec.prune_k]
             idxs_np = np.take_along_axis(idxs_np, keep, axis=1)

@@ -809,6 +809,15 @@ class Captioner:
             # long-context regime: chunk scoring passes to a token budget
             # (sweep-tuned; see config.clip_token_budget)
             row_chunk = min(row_chunk, max(1, budget // self.cfg.clip_len))
+        # control-aware stage-1 ranking: "auto" engages it for every
+        # controlled pruned run ("on" is the same under the ctl+prune
+        # guard; "off" reproduces the r4 cosine-only cuts). Free tiers
+        # never carry the flag — their programs are unchanged.
+        stage1_ctl = (
+            self.cfg.prune_stage1_ctl != "off"
+            and ctl is not None
+            and prune_k is not None
+        )
         return EngineSpec(
             seed_len=seed_len,
             sentence_len=max_len,
@@ -831,6 +840,7 @@ class Captioner:
             stage1_precut=self.cfg.prune_stage1_precut,
             stage1_precut_mode=self.cfg.prune_stage1_precut_mode,
             stage1_precut_layers=self.cfg.prune_stage1_precut_layers,
+            stage1_ctl=stage1_ctl,
             prefix_chunks=None if exact else prefix_chunks,
             clip_row_chunk=row_chunk,
             clip_pad_to=self._clip_pad_to(),
@@ -991,10 +1001,18 @@ class Captioner:
             self._ensure_banned_tables()
         tables = self.tables
         ctl_key = ""
+        # the ctl-aware stage-1 rank consumes the device ctl tables even
+        # under ctl_mode="exact" (stage 1 is a surrogate either way)
+        stage1_ctl_on = (
+            self.cfg.prune_stage1_ctl != "off"
+            and ctl is not None
+            and prune_k is not None
+        )
         if ctl is not None and self.cfg.ctl_mode == "exact":
             # exact mode scores candidates host-side: no device tables
-            # needed; the POS template is baked into the host callback
-            # (and into the jit-cache key via ctl_key)
+            # needed (unless the stage-1 rank wants them); the POS
+            # template is baked into the host callback (and into the
+            # jit-cache key via ctl_key)
             import json
 
             template = (
@@ -1002,7 +1020,8 @@ class Captioner:
                 else self.cfg.pos_type
             )
             ctl_key = json.dumps(template) if ctl == "pos" else ""
-        elif ctl is not None:
+        if ctl is not None and (self.cfg.ctl_mode != "exact"
+                                or stage1_ctl_on):
             self._ensure_ctl_tables()
             if pos_template is not None:
                 # per-call template override; never mutates shared state
@@ -1029,7 +1048,8 @@ class Captioner:
         # mask_impl compare -> gather would force a full retrace of the
         # already-compiled gather program with two dead inputs
         need = {"mask_mid", "mask_last", "bridge_ids", "bridge_lens"}
-        if spec.ctl is not None and spec.ctl_mode == "table":
+        if spec.ctl is not None and (spec.ctl_mode == "table"
+                                     or spec.stage1_ctl):
             need |= {"senti", "pos", "template"}
         if spec.prune_k is not None:
             if spec.prune_stage1 == "factorized":

@@ -319,16 +319,19 @@ def test_cell_key_builder_matches_the_gate_grammar():
     pat = re.compile(
         r"^(sequential|shuffle|span|random|parallel)/"
         r"(free|sentiment|pos)/prune\d+(\+fact\d+(?:pc\d+(?:t\d+)?)?)?"
+        r"(\+ctlrank)?"
         r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
         r"(@n\d+)?(@len\d+)?(@s\d+)?$"
     )
-    for mode, fe, quant, n, ln, seed, s1, pc in itertools.product(
+    for mode, fe, quant, n, ln, seed, s1, pc, cr in itertools.product(
         ("exact", "approx"), (False, True), ("none", "int8", "int8_all"),
         (4, 16), (24, 77), (0, 1), ("proxy", "factorized"), (0, 24),
+        (False, True),
     ):
         key = cell_key(ctl="pos", prune_k=5, topk_mode=mode, recall=0.9,
                        final_exact=fe, quant=quant, n_images=n,
-                       clip_len=ln, seed=seed, stage1=s1, precut=pc)
+                       clip_len=ln, seed=seed, stage1=s1, precut=pc,
+                       ctl_rank=cr)
         assert pat.match(key), key
     # and the exact strings bench's gate builds for its lookups
     assert cell_key(prune_k=5) == "sequential/free/prune5"
@@ -350,6 +353,12 @@ def test_cell_key_builder_matches_the_gate_grammar():
                    stage1_pct=50, precut=24, precut_tower_pct=17,
                    clip_len=77, n_images=16)
     assert pat.match(key), key
+    # the r5 control-aware stage-1 rank: +ctlrank sits between the fact
+    # segment and +approx (bench's gate builds the same order)
+    assert cell_key(ctl="sentiment", prune_k=3, stage1="factorized",
+                    stage1_pct=50, precut=96, topk_mode="approx",
+                    recall=0.9, ctl_rank=True, n_images=32) == \
+        "sequential/sentiment/prune3+fact50pc96+ctlrank+approx0.9@n32"
 
 
 def test_committed_matrix_keys_parse():
@@ -367,6 +376,7 @@ def test_committed_matrix_keys_parse():
     pat = re.compile(
         r"^(sequential|shuffle|span|random|parallel)/"
         r"(free|sentiment|pos)/prune\d+(\+fact\d+(?:pc\d+(?:t\d+)?)?)?"
+        r"(\+ctlrank)?"
         r"(\+approx0\.\d+)?(\+final_exact)?(\+int8(?:_all)?)?"
         r"(@n\d+)?(@len\d+)?(@s\d+)?$"
     )
@@ -384,9 +394,13 @@ def test_ctl_bench_gates_on_its_ctl_cell(bench_mod, capsys):
     # CONZIC_BENCH_CTL=pos must gate on sequential/pos/... — never the
     # free cell (and vice versa: the free bench never borrows ctl cells,
     # test_gate_is_anchored_to_free_sequential)
+    # ctl bench runs default to the ctl-aware stage-1 rank (r5), so the
+    # gate looks up the +ctlrank cell — a cosine-ranked r4 ctl cell must
+    # NOT gate the ctlrank program (different selection semantics)
     cells = {
         "sequential/free/prune5": {"best_cosine_delta": 0.004},
-        "sequential/pos/prune5": {"best_cosine_delta": 0.02},
+        "sequential/pos/prune5": {"best_cosine_delta": 0.9},  # stale r4
+        "sequential/pos/prune5+ctlrank": {"best_cosine_delta": 0.02},
     }
     path = os.path.join(os.path.dirname(bench_mod.__file__),
                         "PRUNING_MATRIX.json")
@@ -395,7 +409,15 @@ def test_ctl_bench_gates_on_its_ctl_cell(bench_mod, capsys):
     err = _gate_stderr(bench_mod, capsys, prune=5, ctl="pos")
     assert "+0.0200" in err and "quality-degraded" in err
     err = _gate_stderr(bench_mod, capsys, prune=5, ctl="sentiment")
-    assert "no cell" in err and "sequential/sentiment/prune5 " in err
+    assert "no cell" in err and "sequential/sentiment/prune5+ctlrank " in err
+    # the off-switch re-measures the r4 cosine-ranked program and gates
+    # on the unsuffixed ctl cell
+    try:
+        bench_mod.STAGE1_CTL = "off"
+        err = _gate_stderr(bench_mod, capsys, prune=5, ctl="pos")
+        assert "+0.9000" in err
+    finally:
+        bench_mod.STAGE1_CTL = "auto"
 
 
 @pytest.mark.parametrize("name,val", [

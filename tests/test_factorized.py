@@ -340,6 +340,24 @@ def test_host_stepped_pruned_hybrid_matches_callback(monkeypatch):
     _host_vs_callback_pruned(monkeypatch, stage1="proxy", final_exact=True)
 
 
+def test_host_stepped_ctl_proxy_matches_callback(monkeypatch):
+    """Controlled pruned runs engage the ctl-aware stage-1 rank
+    (stage1_ctl auto, r5) — host-stepped and callback engines must agree
+    byte-for-byte through the new rank path (proxy cut)."""
+    _host_vs_callback_pruned(monkeypatch, stage1="proxy", ctl="sentiment")
+
+
+def test_host_stepped_ctl_factorized_matches_callback(monkeypatch):
+    _host_vs_callback_pruned(monkeypatch, stage1="factorized", ctl="pos")
+
+
+def test_host_stepped_ctl_tower_cascade_matches_callback(monkeypatch):
+    _host_vs_callback_pruned(monkeypatch, stage1="factorized", precut=5,
+                             precut_mode="tower", stage1_layers=2,
+                             precut_layers=1, clip_layers=4,
+                             ctl="sentiment")
+
+
 def test_cascade_precut_engine_matches_recomposed_oracle(cap):
     """--prune_stage1_precut m: proxy k->m, truncated tower m->prune_k,
     exact rescore — recomposed outside the engine and pinned."""

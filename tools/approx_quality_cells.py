@@ -117,7 +117,9 @@ def main():
         key = cell_key(ctl=args.ctl, prune_k=pk, topk_mode=args.topk_mode,
                        recall=args.recall, final_exact=args.final_exact,
                        quant=args.quant, n_images=args.n_images,
-                       clip_len=args.clip_len, seed=args.seed)
+                       clip_len=args.clip_len, seed=args.seed,
+                       ctl_rank=(args.ctl is not None
+                                 and cap.cfg.prune_stage1_ctl != "off"))
         if args.cpu:
             key += "+CPU-SMOKE"
         print(key, json.dumps(cell))

@@ -129,6 +129,12 @@ def main():
     p.add_argument("--template", type=str, default=None,
                    help="JSON slot-list template overriding the "
                         "world-matched default")
+    p.add_argument("--stage1_ctl", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="control-aware stage-1 ranking for the ctl speed "
+                        "tiers (r5 default; 'off' measures the r4 "
+                        "cosine-ranked tiers — labels carry +ctlrank "
+                        "when on so the two never collide)")
     p.add_argument("--skip_tiers", action="store_true",
                    help="full-parity modes only (no ctl speed tiers)")
     p.add_argument("--out", default=OUT_PATH)
@@ -202,6 +208,7 @@ def main():
             cap.cfg.prune_stage1 = "factorized"
             cap.cfg.prune_stage1_layers = t["s1_layers"]
             cap.cfg.prune_stage1_precut = t["precut"]
+            cap.cfg.prune_stage1_ctl = args.stage1_ctl
             pk = t["prune_k"]
         try:
             return cap.run(
@@ -224,6 +231,8 @@ def main():
             tier_names.append(tiers[ctl] if ctl else tiers["free"])
         for tier in tier_names:
             label = f"{mode}/{tier or 'full'}"
+            if tier and ctl and args.stage1_ctl != "off":
+                label += "+ctlrank"
             print(f"--- {label}", flush=True)
             res = one_run(ctl, negative, tier)
             best = res.gen_texts_list[-1]      # best-by-CLIPScore
@@ -256,6 +265,7 @@ def main():
             "scene_seed": args.scene_seed,
             "template": template,
             "tiers": tier_cfg,
+            "stage1_ctl": args.stage1_ctl,
         },
         "vocab_caveat": (
             "shape-world vocab carries few valence words; sentiment "

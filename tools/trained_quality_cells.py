@@ -131,6 +131,11 @@ def main():
     p.add_argument("--recall", type=float, default=0.90)
     p.add_argument("--final_exact", action="store_true")
     p.add_argument("--ctl", choices=["sentiment", "pos"], default=None)
+    p.add_argument("--stage1_ctl", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="control-aware stage-1 ranking (r5 default for "
+                        "ctl cells; 'off' re-measures the r4 cosine-"
+                        "ranked program — different cell keys)")
     p.add_argument("--clip_len", type=int, default=24)
     p.add_argument("--n_images", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
@@ -242,6 +247,7 @@ def main():
         cap.cfg.prune_stage1_precut = precut
         cap.cfg.prune_stage1_precut_mode = pc_mode
         cap.cfg.prune_stage1_precut_layers = pc_layers
+        cap.cfg.prune_stage1_ctl = args.stage1_ctl
         tower_layers = cap.clip_model.config.text.num_layers
         s1_pct = round(100 * s1_layers / tower_layers)
         pc_tower_pct = (round(100 * pc_layers / tower_layers)
@@ -255,7 +261,9 @@ def main():
         key = cell_key(ctl=ctl, prune_k=pk, topk_mode=mode, recall=recall,
                        final_exact=fe, n_images=n, clip_len=clip_len,
                        stage1=stage1, stage1_pct=s1_pct, precut=precut,
-                       precut_tower_pct=pc_tower_pct, seed=key_seed)
+                       precut_tower_pct=pc_tower_pct, seed=key_seed,
+                       ctl_rank=(ctl is not None
+                                 and args.stage1_ctl != "off"))
         if args.cpu:
             key += "+CPU-SMOKE"
         print(f"--- trained/{key}", flush=True)

@@ -54,9 +54,9 @@ def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
              recall=0.95, final_exact=False, quant="none",
              n_images=4, clip_len=24, seed=0,
              stage1="proxy", stage1_pct=50, precut=0,
-             precut_tower_pct=0) -> str:
+             precut_tower_pct=0, ctl_rank=False) -> str:
     """THE matrix cell-key grammar, in one place:
-    ``order/<ctl|free>/prune<k>[+fact<pct>[pc<m>[t<pct>]]]
+    ``order/<ctl|free>/prune<k>[+fact<pct>[pc<m>[t<pct>]]][+ctlrank]
     [+approx<recall>][+final_exact][+int8|+int8_all][@n<N>][@len<L>]
     [@s<seed>]``.
     bench.py's gate matches this order (its standalone copy is
@@ -72,7 +72,11 @@ def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
     checks the transfer at runtime. ``pc<m>`` marks the cascade's
     pre-cut width; a trailing ``t<pct>`` marks the TOWER pre-cut (a
     shallower truncated tower at that depth percent replacing the bag
-    proxy — the two-stage cascade, r5)."""
+    proxy — the two-stage cascade, r5). ``+ctlrank`` marks the
+    control-aware stage-1 ranking (config.prune_stage1_ctl, the r5
+    default for controlled pruned runs) — its cells are measured on a
+    DIFFERENT program than the r4 cosine-ranked ctl cells, so the two
+    must never share a key."""
     key = f"{order}/{ctl or 'free'}/prune{prune_k}"
     if stage1 == "factorized":
         key += f"+fact{stage1_pct:g}"
@@ -80,6 +84,8 @@ def cell_key(*, order="sequential", ctl=None, prune_k, topk_mode="exact",
             key += f"pc{precut}"
             if precut_tower_pct:
                 key += f"t{precut_tower_pct:g}"
+    if ctl_rank:
+        key += "+ctlrank"
     if topk_mode == "approx":
         key += f"+approx{recall:g}"
     if final_exact:
@@ -313,7 +319,9 @@ def main():
                         topk_mode=args.topk_mode, recall=args.topk_recall,
                         final_exact=fe, quant=args.quant,
                         stage1=args.prune_stage1, stage1_pct=pct,
-                        precut=args.stage1_precut)
+                        precut=args.stage1_precut,
+                        ctl_rank=(c is not None
+                                  and cap.cfg.prune_stage1_ctl != "off"))
 
     if args.merge:
         jobs = [j for j in jobs if job_key(*j) not in cells]
