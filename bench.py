@@ -478,8 +478,13 @@ def check_prune_quality():
     else:
         delta = cell["best_cosine_delta"]
         if weights_label == "trained-tiny":
-            print(f"quality gate: trained-tiny cell, best-cosine delta "
-                  f"{delta:+.4f} @n{n}", file=sys.stderr)
+            # name the WORLD that produced the surviving estimate —
+            # same-key re-measures on a more production-like checkpoint
+            # overwrite (tools/trained_quality_cells.py), and the r5
+            # width-transfer study showed verdicts can flip across worlds
+            ckpt = cell.get("checkpoint", "trained_tiny")
+            print(f"quality gate: trained-tiny cell ({ckpt}), "
+                  f"best-cosine delta {delta:+.4f} @n{n}", file=sys.stderr)
         if delta > 0.01:
             print(f"WARNING: best-cosine delta at this operating point is "
                   f"{delta:+.4f} (> 0.01); treat the pruned throughput as "
@@ -515,6 +520,11 @@ def best_quality_bounded_point():
             "gate_cell": f"{pt['gate_cell']}@n{n}",
             "best_cosine_delta": round(delta, 5),
             "weights": label,
+            # which trained world produced the gating estimate (r5:
+            # verdicts can flip across worlds; the matrix keeps the
+            # most production-like measurement at each key)
+            "weights_checkpoint": cell.get("checkpoint", "trained_tiny")
+            if label == "trained-tiny" else None,
             "under_gate": delta <= 0.01,
             "session": pt.get("session"),
         }
