@@ -490,6 +490,17 @@ def check_prune_quality():
                   f"{delta:+.4f} (> 0.01); treat the pruned throughput as "
                   f"quality-degraded ({weights_label}).",
                   file=sys.stderr)
+        # secondary axis (r5): Δcos is blind to attribute-coverage loss —
+        # the ctlrank tiers measured Δcos-neutral while attr-recall fell
+        # 0.84→0.55 on the wide-vocab world. Warn when the trained cell
+        # records a material drop even if the Δcos gate passes.
+        af, ap = cell.get("attr_recall_full"), cell.get("attr_recall_pruned")
+        if af is not None and ap is not None and af - ap > 0.10:
+            print(f"WARNING: attribute recall drops {af:.2f}→{ap:.2f} at "
+                  f"this operating point (Δ>{0.10}); the caption names "
+                  f"fewer scene attributes than full parity even though "
+                  f"the Δcos gate {'passes' if delta <= 0.01 else 'fails'}.",
+                  file=sys.stderr)
 
 
 def best_quality_bounded_point():
@@ -528,6 +539,12 @@ def best_quality_bounded_point():
             "under_gate": delta <= 0.01,
             "session": pt.get("session"),
         }
+        af = cell.get("attr_recall_full")
+        ap = cell.get("attr_recall_pruned")
+        if af is not None and ap is not None:
+            # r5 secondary axis: flag Δcos-neutral attribute-coverage loss
+            entry["attr_recall"] = [round(af, 3), round(ap, 3)]
+            entry["attr_recall_drop"] = round(af - ap, 3) > 0.10
         if delta <= 0.01 and (
                 best is None
                 or pt["caps_per_s"] > best["captions_per_sec"]):

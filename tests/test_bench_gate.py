@@ -259,6 +259,39 @@ def test_trained_cells_take_precedence(bench_mod, capsys):
     assert "quality-degraded" in err and "random-full" in err
 
 
+def test_attr_recall_drop_warns_even_under_gate(bench_mod, capsys):
+    """r5 secondary axis: a trained cell that PASSES the Δcos gate but
+    records a >0.10 attribute-recall drop still warns — the ctlrank
+    tiers measured Δcos-neutral while attr-recall fell 0.84→0.55."""
+    path = os.path.join(os.path.dirname(bench_mod.__file__),
+                        "PRUNING_MATRIX.json")
+    matrix = {
+        "weights": "random-full", "cells": {},
+        "trained": {"weights": "trained-tiny", "cells": {
+            "sequential/free/prune5@n32": {
+                "best_cosine_delta": -0.005,
+                "attr_recall_full": 0.84, "attr_recall_pruned": 0.55}}},
+    }
+    with open(path, "w") as f:
+        json.dump(matrix, f)
+    err = _gate_stderr(bench_mod, capsys, prune=5)
+    assert "attribute recall drops 0.84" in err and "0.55" in err
+    assert "quality-degraded" not in err  # Δcos gate itself passes
+    # a small drop stays quiet
+    cell = matrix["trained"]["cells"]["sequential/free/prune5@n32"]
+    cell["attr_recall_pruned"] = 0.80
+    with open(path, "w") as f:
+        json.dump(matrix, f)
+    err = _gate_stderr(bench_mod, capsys, prune=5)
+    assert "attribute recall" not in err
+    # cells without the attr fields (legacy/random) never trip it
+    del cell["attr_recall_full"], cell["attr_recall_pruned"]
+    with open(path, "w") as f:
+        json.dump(matrix, f)
+    err = _gate_stderr(bench_mod, capsys, prune=5)
+    assert "attribute recall" not in err
+
+
 def test_best_quality_bounded_point(bench_mod):
     """bench's JSON line carries the fastest PUBLISHED ladder point whose
     gate cell is under 0.01 (VERDICT r3 item 7): over-gate points are
