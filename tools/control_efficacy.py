@@ -137,6 +137,10 @@ def main():
                         "when on so the two never collide)")
     p.add_argument("--skip_tiers", action="store_true",
                    help="full-parity modes only (no ctl speed tiers)")
+    p.add_argument("--only", default=None,
+                   help="comma-separated mode filter (free,sent_pos,"
+                        "sent_neg,pos) — re-measure a subset; merges "
+                        "into an existing --out file")
     p.add_argument("--out", default=OUT_PATH)
     p.add_argument("--cpu", action="store_true",
                    help="CPU run — approx stage-1 lowers to exact; "
@@ -175,11 +179,12 @@ def main():
     def layers(pct):  # depth-percent -> layer count on THIS tower
         return max(1, round(pct * tower_layers / 100))
 
-    # shipped ctl operating points (BASELINE.md r4); tier key grammar
-    # matches the PRUNING_MATRIX cell keys
+    # shipped ctl operating points (BASELINE.md r5: queue F moved POS
+    # pc48 -> pc96 after the pc48+ctlrank gate demotion); tier key
+    # grammar matches the PRUNING_MATRIX cell keys
     tiers = {"free": "fact17pc24",
              "sentiment": "fact50pc96",
-             "pos": "fact50pc48"}
+             "pos": "fact50pc96"}
     tier_cfg = {
         "fact17pc24": dict(prune_k=3, s1_layers=layers(17), precut=24),
         "fact50pc96": dict(prune_k=3, s1_layers=layers(50), precut=96),
@@ -225,6 +230,13 @@ def main():
             cap.cfg.topk_mode = "exact"
 
     results = {}
+    if args.only:
+        keep = {m.strip() for m in args.only.split(",")}
+        modes = [m for m in modes if m[0] in keep]
+        # partial re-measures extend the existing dossier in place
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                results = json.load(f).get("results", {})
     for mode, ctl, negative in modes:
         tier_names = [None]
         if not args.skip_tiers:
