@@ -1,27 +1,40 @@
 #!/bin/bash
 # r5 queue E (final form): timing-critical full-size benches. Host must
-# be otherwise idle (1-core host; see CLAUDE.md). Run AFTER queues D/F/G
+# be otherwise idle (1-core host; see CLAUDE.md). Run AFTER queues F/H
 # — the quality verdicts those landed picked these operating points:
-#   free frontier (two-worlds-robust): fact50pc24
-#   sentiment ctl: fact50pc96+ctlrank   POS ctl: fact50pc96+ctlrank
+#   tiny12-world flagship (fails mid): fact17pc24 — record row only
+#   two-worlds-robust free frontier:   fact50pc48 (mid 3/3 under)
+#   sentiment ctl: fact50pc96+ctlrank  POS ctl: fact50pc96+ctlrank
 set -x
 export PYTHONPATH=/root/.axon_site:$PYTHONPATH JAX_PLATFORMS=axon
 cd /root/repo
 
-# ---- 1) free frontier pair: fact50pc24 B=512 + same-VM proxy control
-#         (prune3+approx0.9 B=512 calibrates this VM against the
-#         published 82.42)
-timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 \
-  CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
-  CONZIC_BENCH_TOPK_RECALL=0.90 CONZIC_BENCH_STAGE1=factorized \
-  CONZIC_BENCH_STAGE1_LAYERS=6 CONZIC_BENCH_STAGE1_PRECUT=24 \
-  CONZIC_BENCH_BATCH=512 python bench.py
+# ---- 1) same-VM proxy control (calibrates this VM against the
+#         published 82.42) + the mid-robust free frontier pair
 timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 \
   CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
   CONZIC_BENCH_TOPK_RECALL=0.90 \
   CONZIC_BENCH_BATCH=512 python bench.py
+timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 \
+  CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
+  CONZIC_BENCH_TOPK_RECALL=0.90 CONZIC_BENCH_STAGE1=factorized \
+  CONZIC_BENCH_STAGE1_LAYERS=6 CONZIC_BENCH_STAGE1_PRECUT=48 \
+  CONZIC_BENCH_BATCH=512 python bench.py
+timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 \
+  CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
+  CONZIC_BENCH_TOPK_RECALL=0.90 CONZIC_BENCH_STAGE1=factorized \
+  CONZIC_BENCH_STAGE1_LAYERS=6 CONZIC_BENCH_STAGE1_PRECUT=48 \
+  CONZIC_BENCH_BATCH=256 python bench.py
 
-# ---- 2) sentiment ctlrank tier pair at the operating point
+# ---- 2) tiny12-world flagship record row (its gate now honestly fails
+#         on trained_mid; the row stays published with world named)
+timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 \
+  CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
+  CONZIC_BENCH_TOPK_RECALL=0.90 CONZIC_BENCH_STAGE1=factorized \
+  CONZIC_BENCH_STAGE1_LAYERS=2 CONZIC_BENCH_STAGE1_PRECUT=24 \
+  CONZIC_BENCH_BATCH=512 python bench.py
+
+# ---- 3) sentiment ctlrank tier pair at the operating point
 #         (fact50pc96, B=256): default (ctlrank auto=on) vs
 #         STAGE1_CTL=off — the pair isolates the steering fix's cost
 timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CTL=sentiment \
@@ -36,9 +49,8 @@ timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CTL=sentiment \
   CONZIC_BENCH_STAGE1_CTL=off \
   CONZIC_BENCH_BATCH=256 python bench.py
 
-# ---- 3) POS tier at its NEW operating point (pc96+ctlrank — pc48
-#         failed the r5 gate 3/3): the pc48 B=512 shape was the r4
-#         18.88 row; measure pc96 at both batches
+# ---- 4) POS tier at its NEW operating point (pc96+ctlrank — pc48
+#         failed the r5 gate 3/3): measure both batches
 timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CTL=pos \
   CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
   CONZIC_BENCH_TOPK_RECALL=0.90 CONZIC_BENCH_STAGE1=factorized \
@@ -50,21 +62,13 @@ timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CTL=pos \
   CONZIC_BENCH_STAGE1_LAYERS=6 CONZIC_BENCH_STAGE1_PRECUT=96 \
   CONZIC_BENCH_BATCH=256 python bench.py
 
-# ---- 4) len77 candidates (VERDICT item 2's speed half). fact50pc24
+# ---- 5) len77 candidates (VERDICT item 2's speed half). fact50pc24
 #         passes on trained_mid (-0.0057; tiny12 disagreed — world-
-#         contingent); the t17 tower cascade passes Dcos but collapses
-#         attr-recall (0.36) — measured for the record, not the
-#         operating point. prune20-proxy is the same-VM honest control.
+#         contingent); prune20-proxy is the same-VM honest control.
 timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CLIP_LEN=77 \
   CONZIC_BENCH_PRUNE=10 CONZIC_BENCH_TOPK_MODE=approx \
   CONZIC_BENCH_TOPK_RECALL=0.95 CONZIC_BENCH_STAGE1=factorized \
   CONZIC_BENCH_STAGE1_LAYERS=6 CONZIC_BENCH_STAGE1_PRECUT=24 \
-  CONZIC_BENCH_BATCH=128 python bench.py
-timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CLIP_LEN=77 \
-  CONZIC_BENCH_PRUNE=10 CONZIC_BENCH_TOPK_MODE=approx \
-  CONZIC_BENCH_TOPK_RECALL=0.95 CONZIC_BENCH_STAGE1=factorized \
-  CONZIC_BENCH_STAGE1_LAYERS=6 CONZIC_BENCH_STAGE1_PRECUT=24 \
-  CONZIC_BENCH_STAGE1_PRECUT_MODE=tower CONZIC_BENCH_STAGE1_PRECUT_LAYERS=2 \
   CONZIC_BENCH_BATCH=128 python bench.py
 timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CLIP_LEN=77 \
   CONZIC_BENCH_PRUNE=20 \
