@@ -521,6 +521,11 @@ def best_quality_bounded_point():
     best = None       # fastest point UNDER the gate
     nearest = None    # smallest-delta point, reported when none is under
     for pt in ladder.get("points", []):
+        # the flagship slot compares like with like: free-mode rows only
+        # (a controlled-generation tier is a different task), and rows
+        # superseded by a program change (r5 ctlrank) never resolve
+        if pt.get("mode", "free") != "free" or "superseded" in pt:
+            continue
         cell, label, n, _ = lookup_quality_cell(matrix, pt["gate_cell"])
         if cell is None:
             continue

@@ -337,6 +337,33 @@ def test_best_quality_bounded_point(bench_mod):
     assert pt["config"] == "slow-under" and pt["weights"] == "trained-tiny"
 
 
+def test_best_point_skips_ctl_and_superseded_rows(bench_mod):
+    """r5: the flagship slot compares like with like — ctl-mode ladder
+    rows (a different task) and rows superseded by a program change
+    (ctlrank) never resolve, even when faster and under-gate."""
+    base = os.path.dirname(bench_mod.__file__)
+    ladder = {"points": [
+        {"name": "ctl-fast", "caps_per_s": 90.0, "mode": "pos",
+         "gate_cell": "sequential/pos/prune3", "session": "s"},
+        {"name": "old-program", "caps_per_s": 85.0, "mode": "free",
+         "superseded": "replaced",
+         "gate_cell": "sequential/free/prune3", "session": "s"},
+        {"name": "free-under", "caps_per_s": 50.0, "mode": "free",
+         "gate_cell": "sequential/free/prune5", "session": "s"},
+    ]}
+    matrix = {"weights": "random-full", "cells": {
+        "sequential/pos/prune3@n32": {"best_cosine_delta": 0.001},
+        "sequential/free/prune3@n32": {"best_cosine_delta": 0.001},
+        "sequential/free/prune5@n32": {"best_cosine_delta": 0.001},
+    }}
+    with open(os.path.join(base, "LADDER.json"), "w") as f:
+        json.dump(ladder, f)
+    with open(os.path.join(base, "PRUNING_MATRIX.json"), "w") as f:
+        json.dump(matrix, f)
+    pt = bench_mod.best_quality_bounded_point()
+    assert pt["config"] == "free-under"
+
+
 def test_cell_key_builder_matches_the_gate_grammar():
     """The producers build keys via tools/validate_pruning.cell_key;
     bench's gate matches its own standalone copy of the grammar. Pin the
