@@ -73,5 +73,12 @@ timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CLIP_LEN=77 \
 timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CLIP_LEN=77 \
   CONZIC_BENCH_PRUNE=20 \
   CONZIC_BENCH_BATCH=64 python bench.py
+#    queue-I find: prune3+fact50pc48@len77 passes Dcos on mid (-0.0125)
+#    at ~3.3x less stage-2 work than the prune10 rows
+timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 CONZIC_BENCH_CLIP_LEN=77 \
+  CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
+  CONZIC_BENCH_TOPK_RECALL=0.95 CONZIC_BENCH_STAGE1=factorized \
+  CONZIC_BENCH_STAGE1_LAYERS=6 CONZIC_BENCH_STAGE1_PRECUT=48 \
+  CONZIC_BENCH_BATCH=128 python bench.py
 
 echo QUEUE_E_DONE
