@@ -10,11 +10,23 @@ export PYTHONPATH=/root/.axon_site:$PYTHONPATH JAX_PLATFORMS=axon
 cd /root/repo
 
 # ---- 1) same-VM proxy control (calibrates this VM against the
-#         published 82.42) + the mid-robust free frontier pair
+#         published 82.42) + the two-worlds-robust free frontier:
+#         fact50pc32 (queue J2: mid 3/3 under) with pc48 as the
+#         conservative sibling
 timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 \
   CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
   CONZIC_BENCH_TOPK_RECALL=0.90 \
   CONZIC_BENCH_BATCH=512 python bench.py
+timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 \
+  CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
+  CONZIC_BENCH_TOPK_RECALL=0.90 CONZIC_BENCH_STAGE1=factorized \
+  CONZIC_BENCH_STAGE1_LAYERS=6 CONZIC_BENCH_STAGE1_PRECUT=32 \
+  CONZIC_BENCH_BATCH=512 python bench.py
+timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 \
+  CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
+  CONZIC_BENCH_TOPK_RECALL=0.90 CONZIC_BENCH_STAGE1=factorized \
+  CONZIC_BENCH_STAGE1_LAYERS=6 CONZIC_BENCH_STAGE1_PRECUT=32 \
+  CONZIC_BENCH_BATCH=256 python bench.py
 timeout 7200 env CONZIC_BENCH_SKIP_TORCH=1 \
   CONZIC_BENCH_PRUNE=3 CONZIC_BENCH_TOPK_MODE=approx \
   CONZIC_BENCH_TOPK_RECALL=0.90 CONZIC_BENCH_STAGE1=factorized \
