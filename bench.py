@@ -34,7 +34,12 @@ import time
 
 import numpy as np
 
-SENTENCE_LEN = 10
+# headline contract is len=10; override for shape experiments only (the
+# metric label embeds the value, so off-contract rows are self-labeled).
+# NOTE the synthetic bench vocab averages ~5.5 CLIP pieces/word vs real
+# BERT's ~1.3 — len=3 here reproduces the ~25-piece assembled rows that
+# REAL vocab yields at the reference's len=10 (the --clip_window regime)
+SENTENCE_LEN = int(os.environ.get("CONZIC_BENCH_SENTENCE_LEN", "10"))
 ITERS = int(os.environ.get("CONZIC_BENCH_ITERS", "15"))
 K = int(os.environ.get("CONZIC_BENCH_K", "200"))
 BATCH = int(os.environ.get("CONZIC_BENCH_BATCH", "32"))
@@ -48,6 +53,9 @@ KV_CHUNK = int(os.environ.get("CONZIC_BENCH_KV_CHUNK", "16"))
 ROW_CHUNK = int(os.environ.get("CONZIC_BENCH_ROW_CHUNK", "800"))
 TOKEN_BUDGET = int(os.environ.get("CONZIC_BENCH_TOKEN_BUDGET", "16000"))
 PAD_TO = int(os.environ.get("CONZIC_BENCH_PAD_TO", "-1"))  # -1 = auto
+# windowed candidate encode (exact; lax.cond full-width fallback) — the
+# clip_len=77 regime's lever. 0 = off
+CLIP_WINDOW = int(os.environ.get("CONZIC_BENCH_CLIP_WINDOW", "0"))
 TOPK_CHUNK = int(os.environ.get("CONZIC_BENCH_TOPK_CHUNK", "2048"))
 # pruned-tier-only: "approx" = approx_max_k stage-1 candidate top-k
 TOPK_MODE = os.environ.get("CONZIC_BENCH_TOPK_MODE", "exact")
@@ -180,6 +188,7 @@ def build_captioner():
     if XLA_OPTIONS is not None:  # env override; sampler applies TPU-only
         cfg.compiler_options = XLA_OPTIONS
     cfg.clip_pad_to = PAD_TO
+    cfg.clip_window = CLIP_WINDOW
     cfg.topk_chunk = TOPK_CHUNK
     cfg.mask_impl = MASK_IMPL
     if PRUNE:  # the sampler refuses approx mode without prune_k
@@ -636,7 +645,8 @@ def main():
                      if PRUNE and TOPK_MODE == "approx" else "")
                   + (f" quant={EFFECTIVE.get('quant', QUANT)}"
                      if EFFECTIVE.get("quant", QUANT) != "none" else "")
-                  + (f" mask={MASK_IMPL}" if MASK_IMPL != "gather" else ""),
+                  + (f" mask={MASK_IMPL}" if MASK_IMPL != "gather" else "")
+                  + (f" win={CLIP_WINDOW}" if CLIP_WINDOW else ""),
         "value": round(ours, 4),
         "unit": "captions/sec",
         "vs_baseline": round(vs, 2) if vs else None,

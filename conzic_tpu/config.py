@@ -153,6 +153,17 @@ class ConzicConfig:
     # (128 measured WORSE than 80: the extra columns' FLOPs eat the
     # alignment win).
     clip_pad_to: int = -1
+    # windowed candidate encode (r5): score candidates over only the
+    # first clip_window columns whenever every assembled row fits the
+    # window; a per-step lax.cond falls back to the full static width
+    # otherwise, so outputs are EXACT at any value (causal tower,
+    # first-EOS pooling). The clip_len=77 reference-shape lever: the
+    # 80-padded static bound is ~4x the default workload's ~17-piece
+    # stream. Rounded up to a sublane multiple (8) at spec build;
+    # ignored when >= the effective static width. 0 disables.
+    # Single-chip only (the fit check is a cross-shard reduction on a
+    # batch-sharded mesh — refused with --mesh_data_axis > 1).
+    clip_window: int = 0
     attn_impl: str = "xla"  # xla | twoblock | pallas | pallas_out | xla_bhsd
     # block width of the exact two-stage top-k (engages at B>=128); the
     # stage-1 batched sort is the pruned tier's largest single op.
@@ -200,6 +211,7 @@ class ConzicConfig:
         assert self.quant in ("none", "int8", "int8_all")
         assert self.mask_impl in ("gather", "compare")
         assert 1 <= self.clip_len <= 77
+        assert self.clip_window >= 0
         assert self.prune_stage1 in ("proxy", "factorized")
         assert self.prune_stage1_layers >= 0  # 0 = auto-select at
         # calibration time (smallest depth clearing the measured
@@ -336,6 +348,10 @@ def add_reference_args(p: argparse.ArgumentParser) -> None:
                    default=d.clip_token_budget)
     p.add_argument("--clip_len", type=int, default=d.clip_len)
     p.add_argument("--clip_pad_to", type=int, default=d.clip_pad_to)
+    p.add_argument("--clip_window", type=int, default=d.clip_window,
+                   help="windowed candidate encode: score over the first "
+                        "N columns when every row fits (exact; lax.cond "
+                        "full-width fallback). 0 disables")
     p.add_argument("--topk_chunk", type=int, default=d.topk_chunk)
     p.add_argument("--topk_mode", type=str, default=d.topk_mode,
                    choices=["exact", "approx"],

@@ -844,6 +844,7 @@ class Captioner:
             prefix_chunks=None if exact else prefix_chunks,
             clip_row_chunk=row_chunk,
             clip_pad_to=self._clip_pad_to(),
+            clip_window=self._clip_window(),
             topk_chunk=self.cfg.topk_chunk,
             topk_mode=self.cfg.topk_mode,
             topk_recall=self.cfg.topk_recall,
@@ -899,6 +900,29 @@ class Captioner:
         if pad < 0:
             pad = (L + 7) // 8 * 8 if L > 64 and L % 8 else 0
         return pad if pad > L else 0
+
+    def _clip_window(self) -> int:
+        """Resolve cfg.clip_window (the exact windowed candidate encode):
+        round up to a sublane multiple (8 — the odd-S lesson, config.py
+        clip_pad_to note), drop it when it is not narrower than the
+        effective static width, refuse it on a mesh (the per-step fit
+        check is a cross-shard any() on batch-sharded rows — it would
+        break the engine's zero-collective DP program)."""
+        w = self.cfg.clip_window
+        if not w:
+            return 0
+        if self.mesh is not None:
+            raise ValueError(
+                "--clip_window requires a single chip (no "
+                "--mesh_data_axis): the per-step fit check is a "
+                "cross-shard reduction on the batch-sharded candidate "
+                "rows, which would insert a collective into the "
+                "engine's zero-collective data-parallel program. Drop "
+                "the window or the mesh."
+            )
+        w = (w + 7) // 8 * 8
+        eff = self._clip_pad_to() or self.cfg.clip_len
+        return w if w < eff else 0
 
     def _compiler_options(self) -> Optional[Dict[str, str]]:
         """Parse ``cfg.compiler_options`` ("k=v,k=v") for the engine jit.
